@@ -1,0 +1,229 @@
+"""MIL encoder backbones: ABMIL, DeepAttnMISL, PatchGCN, DualTransHS (ESAT).
+
+All take a padded bag and mask(s) and return a bag embedding H [B, dim_out]
+(prediction heads removed), mirroring the reference backbone zoo
+(reference model/backbone.py:19-196) but batched + masked for TPU.
+
+Call convention: backbone(x, mask, extra, *, deterministic)
+  - x:    [B, N, C] padded patch features
+  - mask: [B, N] 1 = real patch
+  - extra: mode-dependent — None (abmil), cluster ids [B, N] (cluster),
+    dict(edge_index [B, E, 2], edge_mask [B, E]) (graph), or region coords
+    [B, N/16, 2] (patch, optional positional embedding).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import (DenseInit, GatedAttention, GAPool, AvgPoolPatchEmbedding,
+                     TransformerEncoderLayer, make_dense)
+from ..ops.masked import masked_softmax, region_mask_from_patch_mask
+from ..ops.segment import segment_softmax_aggregate
+from ..ops.pe import compute_pe
+
+
+class ABMIL(nn.Module):
+    """Gated-attention MIL (reference model/backbone.py:54-86)."""
+    dims: Sequence[int]          # [in, hid, out]
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, mask, extra=None, *, deterministic: bool):
+        dim_in, dim_hid, dim_out = self.dims
+        h = make_dense(dim_hid, self.init, in_features=dim_in, name="attn_fc")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
+                                init=self.init, name="gate")(
+            h, deterministic=deterministic)           # [B, N, 1]
+        attn = masked_softmax(scores[..., 0], mask, axis=-1)
+        pooled = jnp.einsum("bn,bnd->bd", attn, h)
+        out = make_dense(dim_out, self.init, in_features=dim_hid, name="rho")(pooled)
+        out = nn.relu(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class DeepAttnMISL(nn.Module):
+    """Cluster-based MIL (reference model/backbone.py:89-123): per-cluster
+    FC+ReLU then average pool, gated attention over the k cluster embeddings.
+    Empty clusters contribute zeros yet still participate in the attention
+    softmax, exactly as the reference."""
+    dims: Sequence[int]
+    num_clusters: int = 8
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, mask, extra=None, *, deterministic: bool):
+        dim_in, dim_hid, dim_out = self.dims
+        assert dim_hid == dim_out
+        cluster_id = extra                               # [B, N]
+        phi = nn.relu(make_dense(dim_hid, self.init, in_features=dim_in,
+                                 name="phis")(x))        # [B, N, hid]
+        # masked mean per cluster: one-hot matmul keeps it on the MXU
+        cid = jnp.where(mask.astype(bool), cluster_id.astype(jnp.int32), -1)
+        onehot = jax.nn.one_hot(cid, self.num_clusters, dtype=phi.dtype)  # [B,N,K]
+        totals = jnp.einsum("bnk,bnd->bkd", onehot, phi)
+        counts = jnp.sum(onehot, axis=1)                 # [B, K]
+        h_cluster = totals / jnp.maximum(counts, 1.0)[..., None]
+        # gated attention pool over the K cluster embeddings (all valid)
+        h = make_dense(dim_hid, self.init, in_features=dim_hid, name="attn_fc")(h_cluster)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
+                                init=self.init, name="gate")(
+            h, deterministic=deterministic)
+        attn = jax.nn.softmax(scores[..., 0], axis=-1)
+        return jnp.einsum("bk,bkd->bd", attn, h)
+
+
+class GENConv(nn.Module):
+    """GENConv with softmax aggregation and learnable temperature
+    (DeeperGCN; matches torch_geometric semantics used at reference
+    model/backbone.py:139): m_ij = relu(x_j) + eps; alpha = channel-wise
+    softmax over incoming edges of t * m; out_i = MLP(x_i + sum alpha * m)."""
+    dim: int
+    eps: float = 1e-7
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, edge_index, edge_mask, *, deterministic: bool):
+        # x: [N, C]; edge_index: [E, 2] rows (dst, src); edge_mask: [E]
+        t = self.param("t", nn.initializers.ones, (1,))
+        N = x.shape[0]
+        src = edge_index[:, 1]
+        dst = edge_index[:, 0]
+        msg = nn.relu(x[src]) + self.eps                # [E, C]
+        aggr = segment_softmax_aggregate(msg, dst, edge_mask, N, t[0])
+        h = x + aggr
+        # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
+        h = make_dense(2 * self.dim, self.init, in_features=self.dim, name="mlp0")(h)
+        h = nn.LayerNorm(name="mlp_norm")(h)
+        h = nn.relu(h)
+        h = make_dense(self.dim, self.init, in_features=2 * self.dim, name="mlp1")(h)
+        return h
+
+
+class DeepGCNBlock(nn.Module):
+    """DeepGCNLayer(block='res'): dropout(x + relu(layernorm(conv(x))))
+    with dropout 0.1 (reference model/backbone.py:142). Rematerialized under
+    grad (jax.checkpoint), the TPU analogue of the reference's ckpt_grad."""
+    dim: int
+    dropout: float = 0.1
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, edge_index, edge_mask, *, deterministic: bool):
+        h = GENConv(self.dim, init=self.init, name="conv")(
+            x, edge_index, edge_mask, deterministic=deterministic)
+        h = nn.LayerNorm(name="norm")(h)
+        h = nn.relu(h)
+        h = x + h
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class PatchGCN(nn.Module):
+    """Graph MIL encoder (reference model/backbone.py:126-168): FC embed,
+    GENConv stack with dense concatenation of all layer outputs, then
+    gated-attention pooling over nodes."""
+    dims: Sequence[int]
+    num_layers: int = 1
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, mask, extra=None, *, deterministic: bool):
+        dim_in, dim_hid, dim_out = self.dims
+        edge_index = extra["edge_index"]                 # [B, E, 2]
+        edge_mask = extra["edge_mask"]                   # [B, E]
+
+        h = make_dense(dim_hid, self.init, in_features=dim_in, name="fc")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+        # first layer applies the bare conv (reference model/backbone.py:157)
+        conv0 = GENConv(dim_hid, init=self.init, name="layer0_conv")
+        h0 = _vmap_graph(conv0, h, edge_index, edge_mask, deterministic)
+        feats = [h, h0]
+        cur = h0
+        for i in range(1, self.num_layers):
+            blk_cls = nn.remat(DeepGCNBlock) if (i + 1) % 3 else DeepGCNBlock
+            blk = blk_cls(dim_hid, init=self.init, name=f"layer{i}")
+            cur = _vmap_graph(blk, cur, edge_index, edge_mask, deterministic)
+            feats.append(cur)
+        h_path = jnp.concatenate(feats, axis=-1)         # [B, N, hid*(1+L)]
+        h_path = make_dense(dim_out, self.init,
+                            in_features=dim_hid * (1 + self.num_layers),
+                            name="path_phi")(h_path)
+        h_path = nn.relu(h_path)
+        h_path = nn.Dropout(self.dropout)(h_path, deterministic=deterministic)
+        scores = GatedAttention(dim_out, dim_out, dropout=self.dropout,
+                                init=self.init, name="gate")(
+            h_path, deterministic=deterministic)
+        attn = masked_softmax(scores[..., 0], mask, axis=-1)
+        return jnp.einsum("bn,bnd->bd", attn, h_path)
+
+
+def _vmap_graph(module: nn.Module, x, edge_index, edge_mask, deterministic):
+    """Apply a per-graph module across the batch dim with shared params."""
+    return nn.vmap(
+        lambda m, xx, ei, em: m(xx, ei, em, deterministic=deterministic),
+        in_axes=(0, 0, 0), out_axes=0,
+        variable_axes={"params": None}, split_rngs={"params": False, "dropout": True},
+    )(module, x, edge_index, edge_mask)
+
+
+class DualTransHS(nn.Module):
+    """Transformer-based ESAT (reference model/backbone.py:171-196):
+    4x4-region avg-pool patch embedding -> optional 2-D sin-cos positional
+    embedding -> 1-layer transformer encoder -> global attention pooling."""
+    dims: Sequence[int]
+    nhead: int = 8
+    num_layers: int = 1
+    emb_ksize: int = 1
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, extra=None, *, deterministic: bool):
+        dim_in, dim_hid, dim_out = self.dims
+        assert dim_hid == dim_out
+        emb = AvgPoolPatchEmbedding(dim_in, dim_hid, ksize=self.emb_ksize,
+                                    name="patch_embedding")(
+            x, mask, deterministic=deterministic)        # [B, L, hid]
+        rmask = region_mask_from_patch_mask(mask)        # [B, L]
+        if extra is not None:                            # region coords [B, L, 2]
+            pe = compute_pe(extra, ndim=dim_hid, dtype=emb.dtype)
+            emb = emb + pe * rmask[..., None].astype(emb.dtype)
+        h = emb
+        for i in range(self.num_layers):
+            h = TransformerEncoderLayer(dim_hid, self.nhead, dim_hid,
+                                        dropout=self.dropout, init=self.init,
+                                        use_pallas=self.use_pallas,
+                                        name=f"encoder_{i}")(
+                h, rmask, deterministic=deterministic)
+        return GAPool(dim_out, dim_out, dropout=self.dropout, init=self.init,
+                      name="pool")(h, rmask, deterministic=deterministic)
+
+
+def load_backbone(mode: str, dims: Sequence[int], init: str = DenseInit.XAVIER,
+                  use_pallas: bool = True, num_graph_layers: int = 1) -> nn.Module:
+    """Backbone factory with the reference's default hyperparameters
+    (reference model/backbone.py:19-51)."""
+    dims = list(dims)[:3]
+    if mode == "patch":
+        return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
+                           dropout=0.25, init=init, use_pallas=use_pallas)
+    if mode == "cluster":
+        return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, init=init)
+    if mode == "graph":
+        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, init=init)
+    return ABMIL(dims, dropout=0.25, init=init)

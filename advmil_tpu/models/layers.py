@@ -1,0 +1,370 @@
+"""Shared flax layers: gated attention, global attention pooling, region patch
+embedding, masked transformer encoder, and the noise-MLP generator head.
+
+Architecture parity targets (reference model/backbone_utils.py:11-202,
+model/model_utils.py:103-210), re-expressed as batched masked modules:
+every instance-axis softmax/mean takes a mask so padded bags compute exactly
+the unpadded result.
+
+Initialization parity: the reference applies xavier-uniform/zero-bias to
+nn.Linear in the generator (reference model/model_utils.py:12-17, applied at
+model/model_handler.py:81) while the discriminator and all Conv2d layers keep
+torch defaults (kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for both
+weight and bias). ``DenseInit`` selects among these.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.masked import masked_softmax, masked_mean
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: U(+-1/sqrt(fan_in)). shape = (in, out)."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init_for(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def pt041_kernel_init(key, shape, dtype=jnp.float32):
+    """pytorch-0.4.1-style init used for Cox baselines: U(+-0.5/sqrt(fan_in))
+    (reference model/model_utils.py:53-57)."""
+    fan_in = shape[0]
+    bound = 0.5 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def pt041_bias_init_for(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 0.5 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class DenseInit:
+    """Named init schemes for Dense layers."""
+    XAVIER = "xavier"        # xavier-uniform kernel, zero bias (generator nets)
+    TORCH = "torch"          # torch Linear/Conv2d default (discriminator nets)
+    PT041 = "pt041"          # 0.4.1-era uniform (Cox baselines)
+
+
+def make_dense(features: int, init: str = DenseInit.XAVIER, use_bias: bool = True,
+               name: str | None = None, in_features: int | None = None) -> nn.Dense:
+    if init == DenseInit.XAVIER:
+        return nn.Dense(features, use_bias=use_bias, name=name,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        bias_init=nn.initializers.zeros)
+    if init == DenseInit.TORCH:
+        assert in_features is not None, "torch init needs fan_in for the bias"
+        return nn.Dense(features, use_bias=use_bias, name=name,
+                        kernel_init=torch_linear_kernel_init,
+                        bias_init=torch_linear_bias_init_for(in_features))
+    if init == DenseInit.PT041:
+        assert in_features is not None
+        return nn.Dense(features, use_bias=use_bias, name=name,
+                        kernel_init=pt041_kernel_init,
+                        bias_init=pt041_bias_init_for(in_features))
+    raise ValueError(f"unknown dense init {init}")
+
+
+# ---------------------------------------------------------------------------
+# MLP building blocks (reference model/model_utils.py:157-186)
+# ---------------------------------------------------------------------------
+
+class MLPBlock(nn.Module):
+    """Dense (+LayerNorm) + ReLU + Dropout (reference make_mlp_layer)."""
+    dim_in: int
+    dim_out: int
+    layer_norm: bool = False
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = make_dense(self.dim_out, self.init, in_features=self.dim_in)(x)
+        if self.layer_norm:
+            x = nn.LayerNorm()(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class BottleneckMLP(nn.Module):
+    """Dense(d -> d/2) + ReLU + Dropout + Dense(d/2 -> d)
+    (reference make_efficient_mlp_layer, model/model_utils.py:157-166)."""
+    dim: int
+    dropout: float = 0.25
+    init: str = DenseInit.TORCH
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        h = make_dense(self.dim // 2, self.init, in_features=self.dim)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = make_dense(self.dim, self.init, in_features=self.dim // 2)(h)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Attention pooling (reference model/backbone_utils.py:11-56)
+# ---------------------------------------------------------------------------
+
+class GatedAttention(nn.Module):
+    """Attention scores with sigmoid gating: A = Dense1(tanh(a) * sigmoid(b)).
+
+    Input [..., N, L] -> scores [..., N, n_classes]; caller applies the masked
+    softmax over N (reference Attn_Net_Gated).
+    """
+    dim_l: int
+    dim_d: int
+    dropout: float = 0.25
+    n_classes: int = 1
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        a = jnp.tanh(make_dense(self.dim_d, self.init, in_features=self.dim_l,
+                                name="attention_a")(x))
+        b = nn.sigmoid(make_dense(self.dim_d, self.init, in_features=self.dim_l,
+                                  name="attention_b")(x))
+        if self.dropout:
+            a = nn.Dropout(0.25)(a, deterministic=deterministic)
+            b = nn.Dropout(0.25)(b, deterministic=deterministic)
+        scores = make_dense(self.n_classes, self.init, in_features=self.dim_d,
+                            name="attention_c")(a * b)
+        return scores
+
+
+class GAPool(nn.Module):
+    """Global attention pooling [B, N, d] -> [B, d] (reference GAPool).
+
+    emb = Dropout(tanh(Dense(x))); scr = Dropout(sigmoid(Dense(x)));
+    attn = masked_softmax(Dense1(emb * scr)) over N; out = attn @ x.
+    """
+    in_dim: int
+    hid_dim: int
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool):
+        emb = jnp.tanh(make_dense(self.hid_dim, self.init, in_features=self.in_dim,
+                                  name="fc1")(x))
+        emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
+        scr = nn.sigmoid(make_dense(self.hid_dim, self.init, in_features=self.in_dim,
+                                    name="score")(x))
+        scr = nn.Dropout(self.dropout)(scr, deterministic=deterministic)
+        rep = make_dense(1, self.init, in_features=self.hid_dim, name="fc2")(emb * scr)
+        attn = masked_softmax(rep[..., 0], mask, axis=-1)  # [B, N]
+        return jnp.einsum("bn,bnd->bd", attn, x)
+
+
+# ---------------------------------------------------------------------------
+# Region patch embedding (reference AVGPoolPatchEmbedding,
+# model/backbone_utils.py:129-168)
+# ---------------------------------------------------------------------------
+
+class AvgPoolPatchEmbedding(nn.Module):
+    """[B, N, C] -> [B, N/16, out_dim]: per-patch conv/FC + LN + ReLU, then
+    average pooling over each 4x4 region of 16 consecutive patches.
+
+    ksize=1 is a pointwise Dense; ksize=3 convolves over the 4x4 grid each
+    region forms (stride 1, same padding). Padded patches (mask=0) are excluded
+    from the average; with whole-region padding this matches the reference's
+    AdaptiveAvgPool2d over exact bags.
+    """
+    in_dim: int
+    out_dim: int
+    scale: int = 4
+    ksize: int = 1
+    init: str = DenseInit.TORCH  # Conv2d keeps torch default in the reference
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool):
+        B, N, C = x.shape
+        s2 = self.scale * self.scale
+        L = N // s2
+        if self.ksize == 1:
+            h = make_dense(self.out_dim, self.init, in_features=self.in_dim)(x)
+        else:
+            # conv over each region's 4x4 grid: [B*L, 4, 4, C] -> same spatial
+            h = x.reshape(B * L, self.scale, self.scale, C)
+            h = nn.Conv(self.out_dim, kernel_size=(self.ksize, self.ksize),
+                        padding="SAME",
+                        kernel_init=torch_linear_kernel_init_conv(self.in_dim * self.ksize ** 2),
+                        bias_init=torch_linear_bias_init_for(self.in_dim * self.ksize ** 2))(h)
+            h = h.reshape(B, N, self.out_dim)
+        h = nn.LayerNorm()(h)
+        h = nn.relu(h)
+        # masked average over the 16 patches of each region
+        h = h.reshape(B, L, s2, self.out_dim)
+        m = mask.reshape(B, L, s2)
+        return masked_mean(h, m[..., None], axis=-2)  # [B, L, out_dim]
+
+
+def torch_linear_kernel_init_conv(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Masked transformer encoder (reference make_transformer_layer,
+# model/backbone_utils.py:113-127; torch TransformerEncoderLayer post-LN)
+# ---------------------------------------------------------------------------
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer, relu activation, masked attention.
+
+    Matches torch.nn.TransformerEncoderLayer(d_model, nhead,
+    dim_feedforward=d_model, dropout, activation='relu', batch_first=True,
+    norm_first=False) with a key-padding mask.
+    """
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.25
+    init: str = DenseInit.XAVIER
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool):
+        B, L, D = x.shape
+        H = self.nhead
+        Dh = D // H
+        # in-projection: torch MultiheadAttention xavier-uniform over the packed
+        # (3D, D) matrix; separate xavier per-slice is the same distribution
+        qkv = make_dense(3 * D, DenseInit.XAVIER, in_features=D, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, Dh)
+        k = k.reshape(B, L, H, Dh)
+        v = v.reshape(B, L, H, Dh)
+        attn = _masked_mha(q, k, v, mask, self.dropout, deterministic, self,
+                           use_pallas=self.use_pallas)
+        attn = attn.reshape(B, L, D)
+        attn = make_dense(D, self.init, in_features=D, name="out_proj")(attn)
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x)
+        ff = make_dense(self.dim_feedforward, self.init, in_features=D, name="linear1")(x)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        ff = make_dense(D, self.init, in_features=self.dim_feedforward, name="linear2")(ff)
+        x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm2")(x)
+        # zero out padded positions so downstream pools see clean zeros
+        return x * mask[..., None].astype(x.dtype)
+
+
+def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
+                use_pallas: bool):
+    """Multi-head attention with key-padding mask.
+
+    q,k,v: [B, L, H, Dh]; mask: [B, L] (1 = real). Uses the Pallas flash
+    kernel on TPU for long sequences, jnp einsum otherwise.
+    """
+    B, L, H, Dh = q.shape
+    scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
+    if use_pallas:
+        from ..ops.attention import masked_flash_attention, pallas_available
+        if pallas_available() and L >= 256 and Dh % 128 == 0:
+            return masked_flash_attention(q, k, v, mask)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    logits = jnp.where(mask[:, None, None, :].astype(bool), logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # fully-masked queries would softmax over all -inf -> uniform garbage;
+    # their outputs are zeroed by the caller via the mask
+    if dropout and not deterministic:
+        rng = module.make_rng("dropout")
+        keep = jax.random.bernoulli(rng, 1.0 - dropout, probs.shape)
+        probs = probs * keep / (1.0 - dropout)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Noise-MLP generator head (reference make_noise_mlp_layer,
+# model/model_utils.py:106-133; Generator.forward model/GANSurv.py:30-49)
+# ---------------------------------------------------------------------------
+
+def get_hop_dims(d: int, hops: int) -> list:
+    res, cur = [], d
+    for _ in range(hops):
+        cur = cur // 2
+        if cur > 1:
+            res.append(cur)
+        else:
+            break
+    return res
+
+
+class NoiseMLPHead(nn.Module):
+    """MLP head with optional per-layer noise concatenation.
+
+    Layer i input dim doubles when noise[i] == 1 (a noise tensor with H's shape
+    is concatenated). Hidden dims are successive halvings of dim_in for
+    ``hops`` steps; the final layer is a bare Dense.
+    """
+    dim_in: int
+    dim_out: int
+    noise: Sequence[int]
+    hops: int = 1
+    norm: bool = False
+    dropout: float = 0.25
+    noise_dist: str = "uniform"
+    init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, h, *, zero_noise: bool, deterministic: bool):
+        hid_dims = get_hop_dims(self.dim_in, self.hops)
+        num_layers = len(hid_dims) + 1
+        in_dims = [self.dim_in] + hid_dims
+        out_dims = hid_dims + [self.dim_out]
+        assert len(self.noise) == self.hops + 1
+        for i in range(num_layers):
+            if self.noise[i] == 1:
+                if zero_noise:
+                    noise = jnp.zeros_like(h)
+                else:
+                    rng = self.make_rng("noise")
+                    if self.noise_dist == "uniform":
+                        noise = jax.random.uniform(rng, h.shape, h.dtype)
+                    elif self.noise_dist == "gaussian":
+                        noise = jax.random.normal(rng, h.shape, h.dtype)
+                    else:
+                        raise NotImplementedError(self.noise_dist)
+                data = jnp.concatenate([h, noise], axis=-1)
+                fan_in = in_dims[i] * 2
+            else:
+                data = h
+                fan_in = in_dims[i]
+            if i == num_layers - 1:
+                h = make_dense(out_dims[i], self.init, in_features=fan_in,
+                               name=f"mlp_{i}")(data)
+            else:
+                h = MLPBlock(fan_in, out_dims[i], layer_norm=self.norm,
+                             dropout=self.dropout, init=self.init,
+                             name=f"mlp_{i}")(data, deterministic=deterministic)
+        return h
+
+
+def apply_out_scale(h, out_scale: str):
+    if out_scale == "sigmoid":
+        return nn.sigmoid(h)
+    if out_scale == "exp":
+        return jnp.exp(h)
+    return h

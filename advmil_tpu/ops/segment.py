@@ -1,0 +1,47 @@
+"""Segment (scatter) ops for padded graphs: softmax aggregation with learnable
+temperature, as needed by GENConv-style message passing
+(reference model/backbone.py:139 uses torch_geometric's C++/CUDA kernels).
+
+Graphs are padded to static shapes: node features [N, C] with node mask,
+edges [E, 2] (dst, src) with edge mask. Batched via vmap.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_softmax_aggregate(messages: jnp.ndarray, dst: jnp.ndarray,
+                              edge_mask: jnp.ndarray, num_nodes: int,
+                              t: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = sum_e softmax_e(t * m_e over edges with dst==i) * m_e.
+
+    messages: [E, C]; dst: [E] int; edge_mask: [E]; t: scalar temperature.
+    Channel-wise softmax over each node's incoming edges (GENConv
+    aggr='softmax', learn_t=True semantics). Nodes with no incoming edges
+    aggregate to zeros.
+    """
+    E, C = messages.shape
+    # route masked edges to a trash segment
+    seg = jnp.where(edge_mask.astype(bool), dst, num_nodes).astype(jnp.int32)
+    scaled = messages * t
+    seg_max = jax.ops.segment_max(
+        jnp.where(edge_mask[:, None].astype(bool), scaled, -jnp.inf),
+        seg, num_segments=num_nodes + 1)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.exp(scaled - seg_max[seg]) * edge_mask[:, None].astype(messages.dtype)
+    denom = jax.ops.segment_sum(ex, seg, num_segments=num_nodes + 1)
+    alpha = ex / jnp.maximum(denom[seg], 1e-16)
+    out = jax.ops.segment_sum(alpha * messages, seg, num_segments=num_nodes + 1)
+    return out[:num_nodes]
+
+
+def segment_mean(values: jnp.ndarray, seg_ids: jnp.ndarray, mask: jnp.ndarray,
+                 num_segments: int) -> jnp.ndarray:
+    """Masked per-segment mean; empty segments give zeros."""
+    seg = jnp.where(mask.astype(bool), seg_ids, num_segments).astype(jnp.int32)
+    total = jax.ops.segment_sum(values * mask[:, None].astype(values.dtype),
+                                seg, num_segments=num_segments + 1)
+    count = jax.ops.segment_sum(mask.astype(values.dtype), seg,
+                                num_segments=num_segments + 1)
+    return (total / jnp.maximum(count, 1.0)[:, None])[:num_segments]
