@@ -1,0 +1,110 @@
+"""Flat YAML config loading, cross-field validation, and grid expansion.
+
+Schema-compatible with the reference's config (reference config/cfg_nlst.yaml,
+main.py:63-105, model/model_handler.py:780-812): flat key-value YAML, prefix
+conventions scraped by sparse_key, list-valued keys expanded into a hyperparam
+grid with save_path suffixes.
+
+TPU-specific additions (all defaulted): ``batch_token_budget`` /
+``batch_max_size`` / ``bucket_min`` control bucketed padded batching,
+``dp_devices`` enables data-parallel sharding, ``precision`` selects
+bf16/f32 backbone compute.
+"""
+from __future__ import annotations
+
+import itertools
+
+import yaml
+
+from .utils.func import sparse_str
+
+TPU_DEFAULTS = {
+    "batch_token_budget": 32768,   # patches per device batch
+    "batch_max_size": 64,          # max bags per batch
+    "bucket_min": 256,             # smallest bag bucket (multiple of 16)
+    "dp_devices": 1,               # data-parallel device count
+    "precision": "f32",            # f32 | bf16
+    "use_pallas": True,            # pallas flash attention in ESAT
+    "num_graph_layers": 1,
+    "cache_bags": True,
+    "es_min_epochs": 0,
+    "log_plot": False,
+    "save_prediction": True,
+    "train_sampling": None,
+    "test": False,
+    "semi_training": False,
+    "semi_training_mode": "none",
+    "monitor_metrics": "loss",
+    "gen_updates": 1,
+    "loss_regl1_coef": 0.0,
+    "num_workers": 0,
+    "wandb_dir": None,
+    "wandb_prj": None,
+}
+
+
+def get_config(config_path: str) -> dict:
+    with open(config_path, "r") as f:
+        cfg = yaml.load(f, Loader=yaml.FullLoader)
+    return with_defaults(cfg)
+
+
+def with_defaults(cfg: dict) -> dict:
+    out = dict(TPU_DEFAULTS)
+    out.update(cfg)
+    return out
+
+
+def grid(kwargs: dict) -> list:
+    """Expand every list-valued key into a full cartesian grid
+    (reference main.py:68-105)."""
+    listed = {k: v for k, v in kwargs.items() if isinstance(v, list)}
+    fixed = {k: v for k, v in kwargs.items() if not isinstance(v, list)}
+    if not listed:
+        return [dict(kwargs)]
+    keys = list(listed.keys())
+    combos = list(itertools.product(*[listed[k] for k in keys]))
+    out = []
+    for combo in combos:
+        cfg = dict(fixed)
+        cfg.update(dict(zip(keys, combo)))
+        out.append(cfg)
+    return out
+
+
+def grid_hyperparams(kwargs: dict) -> list:
+    return [k for k, v in kwargs.items() if isinstance(v, list)]
+
+
+def check_configs(cfg: dict):
+    """Cross-field validation (reference model/model_handler.py:780-812)."""
+    assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"]
+    assert cfg["loss_recon_norm"] in ["l1", "l2"]
+    assert cfg["gen_noi_noise_dist"] in ["uniform", "gaussian"]
+    assert cfg["gen_noi_hops"] + 1 == len(str(cfg["gen_noi_noise"]).split("-"))
+    assert cfg["disc_netx_in_dim"] == int(cfg["bcb_dims"].split("-")[0])
+    assert cfg["disc_nety_in_dim"] == int(str(cfg["gen_dims"]).split("-")[-1])
+    assert cfg["disc_netx_out_dim"] == int(cfg["disc_nety_hid_dims"].split("-")[-1])
+    assert cfg.get("ssl_resume_ckpt", "best") in ["last", "best"]
+    noise_existing = sum(sparse_str(cfg["gen_noi_noise"])) > 0
+    if noise_existing:
+        assert cfg["times_test_sample"] > 1
+    else:
+        assert cfg["times_test_sample"] == 1
+    mode = cfg.get("semi_training_mode", "none") or "none"
+    if "UD" in mode and "LD" in mode:
+        cfg["ssl_es_warmup"] = cfg["ssl_kfold"]  # force equal to ssl_kfold
+    else:
+        cfg["ssl_es_warmup"] = 0
+    if cfg["task"] == "cont_gansurv":
+        assert cfg["time_format"] in ["origin", "ratio"]
+        assert str(cfg["gen_dims"])[-2:] == "-1"
+        assert (cfg["gen_out_scale"] == "sigmoid" and cfg["time_format"] == "ratio") or \
+               (cfg["gen_out_scale"] != "sigmoid" and cfg["time_format"] == "origin")
+        assert (cfg["time_format"] == "ratio" and cfg["loss_recon_gamma"] == 0) or \
+               (cfg["time_format"] == "origin" and cfg["loss_recon_gamma"] >= 1)
+    elif cfg["task"] == "disc_gansurv":
+        assert cfg["time_format"] == "quantile"
+        assert cfg["gen_out_scale"] == "sigmoid"
+        assert cfg["disc_nety_in_dim"] == cfg["time_bins"]
+        assert cfg["log_plot"] is False

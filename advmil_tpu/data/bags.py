@@ -1,0 +1,256 @@
+"""Patient-level WSI bag dataset + bucketed padded batching.
+
+This is the single most consequential departure from the reference
+(SURVEY.md §2.3): the reference trains with batch_size=1 over exact-length
+bags, accumulating 16 micro-batches per optimizer step (reference
+dataset/PatchWSI.py:17-110, model/model_handler.py:301-347). XLA wants static
+shapes, so here bags are grouped into a small set of length buckets, padded to
+the bucket length, and stacked into true [B, N, C] batches with masks. Every
+downstream op is mask-correct, so a padded batch computes exactly what the
+reference computes per bag.
+
+Patch-mode buckets are multiples of 16 so padding forms whole 4x4 regions
+(the reference guarantees N % 16 == 0 via tools/big_to_small_patching.py).
+Ragged tail batches are filled with duplicated bags carrying sample_mask=0.
+"""
+from __future__ import annotations
+
+import os.path as osp
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.io import (retrieve_from_table, read_patch_feature,
+                        read_patch_coord)
+from ..utils.func import sampling_data, random_mask_square_instance
+
+
+def default_buckets(max_n: int, min_bucket: int = 256) -> list:
+    """Power-of-two bucket sizes (multiples of 16) covering up to max_n."""
+    sizes = []
+    b = min_bucket
+    while b < max_n:
+        sizes.append(b)
+        b *= 2
+    sizes.append(b)
+    return sizes
+
+
+class BagDataset:
+    """Patient-level bags with labels; modes patch / cluster / graph / abmil.
+
+    Per patient: concatenated patch features of all their slides, label (t, e)
+    (time already transformed by time_format), plus mode extras — cluster ids,
+    a padded kNN graph, or region coordinates.
+    """
+
+    def __init__(self, patient_ids: list, patch_path: str, label_path: str,
+                 mode: str, read_format: str = "pt", time_format: str = "ratio",
+                 time_bins: int = 4, ratio_sampling=None, ratio_mask=None,
+                 cluster_path=None, coord_path=None, graph_path=None,
+                 rng: np.random.Generator | None = None, cache: bool = True):
+        assert mode in ["patch", "cluster", "graph", "abmil"]
+        self.mode = mode
+        if ratio_sampling is not None:
+            print(f"[dataset] Sampling with ratio_sampling = {ratio_sampling}")
+            patient_ids, left = sampling_data(list(patient_ids), ratio_sampling, rng=rng)
+            print(f"[dataset] Sampled {len(patient_ids)} patients, left {len(left)}")
+        if ratio_mask is not None and ratio_mask > 1e-5:
+            assert ratio_mask <= 1
+            assert mode == "patch", "Only patch mode supports instance masking."
+            self.ratio_mask = float(ratio_mask)
+        else:
+            self.ratio_mask = None
+        self.pids, self.pid2sid, self.pid2label = retrieve_from_table(
+            patient_ids, label_path, ret=["pid", "pid2sid", "pid2label"],
+            time_format=time_format, time_bins=time_bins)
+        self.read_path = patch_path
+        self.read_format = read_format
+        self.cluster_path = cluster_path
+        self.coord_path = coord_path
+        self.graph_path = graph_path
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self._cache: dict | None = {} if cache else None
+        print(f"[dataset] BagDataset({mode}): {len(self.pids)} patients")
+
+    def __len__(self):
+        return len(self.pids)
+
+    def bag_sizes(self) -> np.ndarray:
+        return np.array([self[i]["feats"].shape[0] for i in range(len(self))])
+
+    def _load_feats(self, pid: str) -> np.ndarray:
+        feats = [read_patch_feature(
+            osp.join(self.read_path, f"{sid}.{self.read_format}"))
+            for sid in self.pid2sid[pid]]
+        return np.concatenate(feats, axis=0).astype(np.float32)
+
+    def __getitem__(self, index: int) -> dict:
+        if self._cache is not None and index in self._cache:
+            item = self._cache[index]
+        else:
+            item = self._load(index)
+            if self._cache is not None:
+                self._cache[index] = item
+        if self.ratio_mask:
+            item = dict(item)
+            item["feats"] = random_mask_square_instance(
+                item["feats"], self.ratio_mask, scale=4, mask_way="mask_zero",
+                rng=self.rng)
+        return item
+
+    def _load(self, index: int) -> dict:
+        pid = self.pids[index]
+        label = np.asarray(self.pid2label[pid], np.float32)
+        feats = self._load_feats(pid)
+        item = {"index": index, "pid": pid, "feats": feats, "label": label}
+        if self.mode == "cluster":
+            cids = np.load(osp.join(self.cluster_path, f"{pid}.npy"))
+            assert cids.shape[0] == feats.shape[0]
+            item["cluster_id"] = cids.astype(np.int32)
+        elif self.mode == "graph":
+            edges = []
+            offset = 0
+            for sid in self.pid2sid[pid]:
+                g = np.load(osp.join(self.graph_path, f"{sid}.npz"))
+                # stored as [2, E] (dst, src) per slide; offset per slide
+                ei = g["edge_index"].astype(np.int64) + offset
+                edges.append(ei)
+                offset += int(g["num_nodes"])
+            item["edge_index"] = np.concatenate(edges, axis=1)  # [2, E_total]
+        elif self.mode == "patch" and self.coord_path:
+            coords = [read_patch_coord(osp.join(self.coord_path, f"{sid}.h5"))
+                      for sid in self.pid2sid[pid]]
+            item["coords"] = np.concatenate(coords, axis=0)
+        return item
+
+
+def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
+    """Build a BagDataset from the flat config (reference dataset/utils.py:4-33)."""
+    ratio_sampling = kws.get("ratio_sampling")
+    ratio_mask = kws.get("mask_ratio") if cfg.get("test") else None
+    mode = cfg["bcb_mode"]
+    if mode not in ["patch", "graph", "cluster"]:
+        mode = "abmil"
+    return BagDataset(
+        patient_ids, cfg["path_patch"], cfg["path_label"], mode,
+        read_format=cfg["feat_format"], time_format=cfg["time_format"],
+        time_bins=cfg["time_bins"], ratio_sampling=ratio_sampling,
+        ratio_mask=ratio_mask, cluster_path=cfg.get("path_cluster"),
+        coord_path=cfg.get("path_coordx5"), graph_path=cfg.get("path_graph"),
+        rng=kws.get("rng"))
+
+
+@dataclass
+class Batch:
+    """One padded batch. All arrays are numpy; converted on device transfer."""
+    idx: np.ndarray          # [B] dataset indices (of the real samples)
+    feats: np.ndarray        # [B, N, C]
+    mask: np.ndarray         # [B, N] 1 = real patch
+    label: np.ndarray        # [B, 2] (t, e)
+    sample_mask: np.ndarray  # [B] 1 = real bag (0 = duplicated tail filler)
+    extra: dict = field(default_factory=dict)
+
+
+class BucketBatcher:
+    """Groups bags into length buckets and emits fixed-shape padded batches.
+
+    Per bucket of size Nb, batch size Bb = clip(token_budget // Nb, 1,
+    max_batch). The number of distinct compiled shapes is bounded by the
+    number of buckets actually used.
+    """
+
+    def __init__(self, dataset: BagDataset, token_budget: int = 32768,
+                 max_batch: int = 64, min_bucket: int = 256,
+                 edges_per_node: int = 9):
+        self.ds = dataset
+        self.token_budget = token_budget
+        self.max_batch = max_batch
+        self.min_bucket = min_bucket
+        self.edges_per_node = edges_per_node
+        sizes = dataset.bag_sizes()
+        self.buckets = default_buckets(int(sizes.max()), min_bucket)
+        self.item_bucket = np.searchsorted(self.buckets, sizes)
+        self._by_bucket: dict = {}
+        for i, b in enumerate(self.item_bucket):
+            self._by_bucket.setdefault(int(b), []).append(i)
+
+    def batch_size_for(self, bucket_n: int) -> int:
+        return int(np.clip(self.token_budget // bucket_n, 1, self.max_batch))
+
+    def num_batches(self) -> int:
+        total = 0
+        for b, items in self._by_bucket.items():
+            bb = self.batch_size_for(self.buckets[b])
+            total += (len(items) + bb - 1) // bb
+        return total
+
+    def epoch_batches(self, shuffle: bool = False,
+                      rng: np.random.Generator | None = None):
+        """Yield Batch objects covering the dataset once."""
+        order_by_bucket = {}
+        for b, items in self._by_bucket.items():
+            items = list(items)
+            if shuffle:
+                (rng or np.random).shuffle(items)
+            order_by_bucket[b] = items
+        # interleave buckets in a deterministic (optionally shuffled) order
+        chunks = []
+        for b, items in order_by_bucket.items():
+            bb = self.batch_size_for(self.buckets[b])
+            for s in range(0, len(items), bb):
+                chunks.append((b, items[s:s + bb]))
+        if shuffle:
+            (rng or np.random).shuffle(chunks)
+        for b, chunk in chunks:
+            yield self._make_batch(self.buckets[b], chunk)
+
+    def _make_batch(self, bucket_n: int, item_ids: list) -> Batch:
+        bb = self.batch_size_for(bucket_n)
+        n_real = len(item_ids)
+        # fill ragged tails by duplicating the first item with sample_mask 0
+        fill = [item_ids[0]] * (bb - n_real)
+        ids = list(item_ids) + fill
+        items = [self.ds[i] for i in ids]
+        C = items[0]["feats"].shape[1]
+        feats = np.zeros((bb, bucket_n, C), np.float32)
+        mask = np.zeros((bb, bucket_n), np.float32)
+        label = np.zeros((bb, 2), np.float32)
+        for j, it in enumerate(items):
+            n = it["feats"].shape[0]
+            assert n <= bucket_n
+            feats[j, :n] = it["feats"]
+            mask[j, :n] = 1.0
+            label[j] = it["label"]
+        sample_mask = np.zeros((bb,), np.float32)
+        sample_mask[:n_real] = 1.0
+        extra = {}
+        if self.ds.mode == "cluster":
+            cid = np.full((bb, bucket_n), -1, np.int32)
+            for j, it in enumerate(items):
+                n = it["feats"].shape[0]
+                cid[j, :n] = it["cluster_id"]
+            extra["cluster_id"] = cid
+        elif self.ds.mode == "graph":
+            Eb = bucket_n * self.edges_per_node
+            ei = np.zeros((bb, Eb, 2), np.int32)
+            em = np.zeros((bb, Eb), np.float32)
+            for j, it in enumerate(items):
+                e = it["edge_index"]  # [2, E] rows (dst, src)
+                E = min(e.shape[1], Eb)
+                ei[j, :E, 0] = e[0, :E]
+                ei[j, :E, 1] = e[1, :E]
+                em[j, :E] = 1.0
+            extra["edge_index"] = ei
+            extra["edge_mask"] = em
+        elif self.ds.mode == "patch" and "coords" in items[0]:
+            # region-level coords: one per 16 patches
+            Lb = bucket_n // 16
+            rc = np.zeros((bb, Lb, 2), np.float32)
+            for j, it in enumerate(items):
+                c = it["coords"]
+                L = min(c.shape[0], Lb)
+                rc[j, :L] = c[:L]
+            extra["coords"] = rc
+        return Batch(idx=np.asarray(ids, np.int32), feats=feats, mask=mask,
+                     label=label, sample_mask=sample_mask, extra=extra)

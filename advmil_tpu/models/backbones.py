@@ -30,20 +30,20 @@ class ABMIL(nn.Module):
     """Gated-attention MIL (reference model/backbone.py:54-86)."""
     dims: Sequence[int]          # [in, hid, out]
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
         dim_in, dim_hid, dim_out = self.dims
-        h = make_dense(dim_hid, self.init, in_features=dim_in, name="attn_fc")(x)
+        h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="attn_fc")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
-                                init=self.init, name="gate")(
+                                dense_init=self.dense_init, name="gate")(
             h, deterministic=deterministic)           # [B, N, 1]
         attn = masked_softmax(scores[..., 0], mask, axis=-1)
         pooled = jnp.einsum("bn,bnd->bd", attn, h)
-        out = make_dense(dim_out, self.init, in_features=dim_hid, name="rho")(pooled)
+        out = make_dense(dim_out, self.dense_init, in_features=dim_hid, name="rho")(pooled)
         out = nn.relu(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -57,14 +57,14 @@ class DeepAttnMISL(nn.Module):
     dims: Sequence[int]
     num_clusters: int = 8
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
         dim_in, dim_hid, dim_out = self.dims
         assert dim_hid == dim_out
         cluster_id = extra                               # [B, N]
-        phi = nn.relu(make_dense(dim_hid, self.init, in_features=dim_in,
+        phi = nn.relu(make_dense(dim_hid, self.dense_init, in_features=dim_in,
                                  name="phis")(x))        # [B, N, hid]
         # masked mean per cluster: one-hot matmul keeps it on the MXU
         cid = jnp.where(mask.astype(bool), cluster_id.astype(jnp.int32), -1)
@@ -73,11 +73,11 @@ class DeepAttnMISL(nn.Module):
         counts = jnp.sum(onehot, axis=1)                 # [B, K]
         h_cluster = totals / jnp.maximum(counts, 1.0)[..., None]
         # gated attention pool over the K cluster embeddings (all valid)
-        h = make_dense(dim_hid, self.init, in_features=dim_hid, name="attn_fc")(h_cluster)
+        h = make_dense(dim_hid, self.dense_init, in_features=dim_hid, name="attn_fc")(h_cluster)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
-                                init=self.init, name="gate")(
+                                dense_init=self.dense_init, name="gate")(
             h, deterministic=deterministic)
         attn = jax.nn.softmax(scores[..., 0], axis=-1)
         return jnp.einsum("bk,bkd->bd", attn, h)
@@ -90,7 +90,7 @@ class GENConv(nn.Module):
     softmax over incoming edges of t * m; out_i = MLP(x_i + sum alpha * m)."""
     dim: int
     eps: float = 1e-7
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, edge_index, edge_mask, *, deterministic: bool):
@@ -103,10 +103,10 @@ class GENConv(nn.Module):
         aggr = segment_softmax_aggregate(msg, dst, edge_mask, N, t[0])
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
-        h = make_dense(2 * self.dim, self.init, in_features=self.dim, name="mlp0")(h)
+        h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
         h = nn.LayerNorm(name="mlp_norm")(h)
         h = nn.relu(h)
-        h = make_dense(self.dim, self.init, in_features=2 * self.dim, name="mlp1")(h)
+        h = make_dense(self.dim, self.dense_init, in_features=2 * self.dim, name="mlp1")(h)
         return h
 
 
@@ -116,16 +116,17 @@ class DeepGCNBlock(nn.Module):
     grad (jax.checkpoint), the TPU analogue of the reference's ckpt_grad."""
     dim: int
     dropout: float = 0.1
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
+    det: bool = True  # static field so nn.remat sees no traced bool arg
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_mask, *, deterministic: bool):
-        h = GENConv(self.dim, init=self.init, name="conv")(
-            x, edge_index, edge_mask, deterministic=deterministic)
+    def __call__(self, x, edge_index, edge_mask):
+        h = GENConv(self.dim, dense_init=self.dense_init, name="conv")(
+            x, edge_index, edge_mask, deterministic=self.det)
         h = nn.LayerNorm(name="norm")(h)
         h = nn.relu(h)
         h = x + h
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=self.det)
         return h
 
 
@@ -136,7 +137,7 @@ class PatchGCN(nn.Module):
     dims: Sequence[int]
     num_layers: int = 1
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -144,28 +145,34 @@ class PatchGCN(nn.Module):
         edge_index = extra["edge_index"]                 # [B, E, 2]
         edge_mask = extra["edge_mask"]                   # [B, E]
 
-        h = make_dense(dim_hid, self.init, in_features=dim_in, name="fc")(x)
+        h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         # first layer applies the bare conv (reference model/backbone.py:157)
-        conv0 = GENConv(dim_hid, init=self.init, name="layer0_conv")
+        conv0 = GENConv(dim_hid, dense_init=self.dense_init, name="layer0_conv")
         h0 = _vmap_graph(conv0, h, edge_index, edge_mask, deterministic)
         feats = [h, h0]
         cur = h0
         for i in range(1, self.num_layers):
             blk_cls = nn.remat(DeepGCNBlock) if (i + 1) % 3 else DeepGCNBlock
-            blk = blk_cls(dim_hid, init=self.init, name=f"layer{i}")
-            cur = _vmap_graph(blk, cur, edge_index, edge_mask, deterministic)
+            blk = blk_cls(dim_hid, dense_init=self.dense_init,
+                          det=deterministic, name=f"layer{i}")
+            cur = nn.vmap(
+                lambda m, xx, ei, em: m(xx, ei, em),
+                in_axes=(0, 0, 0), out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False, "dropout": True},
+            )(blk, cur, edge_index, edge_mask)
             feats.append(cur)
         h_path = jnp.concatenate(feats, axis=-1)         # [B, N, hid*(1+L)]
-        h_path = make_dense(dim_out, self.init,
+        h_path = make_dense(dim_out, self.dense_init,
                             in_features=dim_hid * (1 + self.num_layers),
                             name="path_phi")(h_path)
         h_path = nn.relu(h_path)
         h_path = nn.Dropout(self.dropout)(h_path, deterministic=deterministic)
         scores = GatedAttention(dim_out, dim_out, dropout=self.dropout,
-                                init=self.init, name="gate")(
+                                dense_init=self.dense_init, name="gate")(
             h_path, deterministic=deterministic)
         attn = masked_softmax(scores[..., 0], mask, axis=-1)
         return jnp.einsum("bn,bnd->bd", attn, h_path)
@@ -189,7 +196,7 @@ class DualTransHS(nn.Module):
     num_layers: int = 1
     emb_ksize: int = 1
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
 
     @nn.compact
@@ -206,24 +213,24 @@ class DualTransHS(nn.Module):
         h = emb
         for i in range(self.num_layers):
             h = TransformerEncoderLayer(dim_hid, self.nhead, dim_hid,
-                                        dropout=self.dropout, init=self.init,
+                                        dropout=self.dropout, dense_init=self.dense_init,
                                         use_pallas=self.use_pallas,
                                         name=f"encoder_{i}")(
                 h, rmask, deterministic=deterministic)
-        return GAPool(dim_out, dim_out, dropout=self.dropout, init=self.init,
+        return GAPool(dim_out, dim_out, dropout=self.dropout, dense_init=self.dense_init,
                       name="pool")(h, rmask, deterministic=deterministic)
 
 
-def load_backbone(mode: str, dims: Sequence[int], init: str = DenseInit.XAVIER,
+def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XAVIER,
                   use_pallas: bool = True, num_graph_layers: int = 1) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]
     if mode == "patch":
         return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
-                           dropout=0.25, init=init, use_pallas=use_pallas)
+                           dropout=0.25, dense_init=init, use_pallas=use_pallas)
     if mode == "cluster":
-        return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, init=init)
+        return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=init)
     if mode == "graph":
-        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, init=init)
-    return ABMIL(dims, dropout=0.25, init=init)
+        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, dense_init=init)
+    return ABMIL(dims, dropout=0.25, dense_init=init)

@@ -37,7 +37,7 @@ class Generator(nn.Module):
         H = self.backbone(x, mask, extra, deterministic=deterministic)
         h = NoiseMLPHead(self.dim_in, self.dim_out, self.noise, hops=self.hops,
                          norm=self.norm, dropout=self.dropout,
-                         noise_dist=self.noise_dist, init=DenseInit.XAVIER,
+                         noise_dist=self.noise_dist, dense_init=DenseInit.XAVIER,
                          name="head")(h=H, zero_noise=zero_noise,
                                       deterministic=deterministic)
         return apply_out_scale(h, self.out_scale)
@@ -51,21 +51,21 @@ class EmbedXLayer(nn.Module):
     out_dim: int
     ksize: int = 1
     dropout: float = 0.25
-    init: str = DenseInit.TORCH
+    dense_init: str = DenseInit.TORCH
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
         emb_ins = AvgPoolPatchEmbedding(self.in_dim, self.out_dim,
-                                        ksize=self.ksize, init=self.init,
+                                        ksize=self.ksize, dense_init=self.dense_init,
                                         name="embedding")(
             x, mask, deterministic=deterministic)       # [B, L, C']
         rmask = region_mask_from_patch_mask(mask)
-        fc_ins = BottleneckMLP(self.out_dim, dropout=self.dropout, init=self.init,
+        fc_ins = BottleneckMLP(self.out_dim, dropout=self.dropout, dense_init=self.dense_init,
                                name="fc1")(emb_ins, deterministic=deterministic)
         emb_bag = GAPool(self.out_dim, self.out_dim, dropout=self.dropout,
-                         init=self.init, name="pool")(
+                         dense_init=self.dense_init, name="pool")(
             fc_ins, rmask, deterministic=deterministic)  # [B, C']
-        fc_bag = BottleneckMLP(self.out_dim, dropout=self.dropout, init=self.init,
+        fc_bag = BottleneckMLP(self.out_dim, dropout=self.dropout, dense_init=self.dense_init,
                                name="fc2")(emb_bag, deterministic=deterministic)
         return fc_bag, fc_ins, rmask
 
@@ -77,7 +77,7 @@ class EmbedYLayer(nn.Module):
     hid_dims: Sequence[int]
     norm: bool = False
     dropout: float = 0.0
-    init: str = DenseInit.TORCH
+    dense_init: str = DenseInit.TORCH
 
     @nn.compact
     def __call__(self, t, *, deterministic: bool):
@@ -85,7 +85,7 @@ class EmbedYLayer(nn.Module):
         d_in = self.in_dim
         for i, d_out in enumerate(self.hid_dims):
             h = MLPBlock(d_in, d_out, layer_norm=self.norm, dropout=self.dropout,
-                         init=self.init, name=f"mlp_{i}")(
+                         dense_init=self.dense_init, name=f"mlp_{i}")(
                 h, deterministic=deterministic)
             d_in = d_out
         return h
@@ -170,7 +170,7 @@ class SurvNet(nn.Module):
     norm: bool = False
     dropout: float = 0.25
     out_scale: str = "none"
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool = True,
@@ -178,7 +178,7 @@ class SurvNet(nn.Module):
         H = self.backbone(x, mask, extra, deterministic=deterministic)
         noise = [0] * (1 + self.hops)
         h = NoiseMLPHead(self.dim_in, self.dim_out, noise, hops=self.hops,
-                         norm=self.norm, dropout=self.dropout, init=self.init,
+                         norm=self.norm, dropout=self.dropout, dense_init=self.dense_init,
                          name="out_layer")(h=H, zero_noise=True,
                                            deterministic=deterministic)
         if self.out_scale == "sigmoid":

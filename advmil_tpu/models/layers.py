@@ -62,23 +62,23 @@ class DenseInit:
     PT041 = "pt041"          # 0.4.1-era uniform (Cox baselines)
 
 
-def make_dense(features: int, init: str = DenseInit.XAVIER, use_bias: bool = True,
+def make_dense(features: int, dense_init: str = DenseInit.XAVIER, use_bias: bool = True,
                name: str | None = None, in_features: int | None = None) -> nn.Dense:
-    if init == DenseInit.XAVIER:
+    if dense_init == DenseInit.XAVIER:
         return nn.Dense(features, use_bias=use_bias, name=name,
                         kernel_init=nn.initializers.xavier_uniform(),
                         bias_init=nn.initializers.zeros)
-    if init == DenseInit.TORCH:
+    if dense_init == DenseInit.TORCH:
         assert in_features is not None, "torch init needs fan_in for the bias"
         return nn.Dense(features, use_bias=use_bias, name=name,
                         kernel_init=torch_linear_kernel_init,
                         bias_init=torch_linear_bias_init_for(in_features))
-    if init == DenseInit.PT041:
+    if dense_init == DenseInit.PT041:
         assert in_features is not None
         return nn.Dense(features, use_bias=use_bias, name=name,
                         kernel_init=pt041_kernel_init,
                         bias_init=pt041_bias_init_for(in_features))
-    raise ValueError(f"unknown dense init {init}")
+    raise ValueError(f"unknown dense init {dense_init}")
 
 
 # ---------------------------------------------------------------------------
@@ -91,11 +91,11 @@ class MLPBlock(nn.Module):
     dim_out: int
     layer_norm: bool = False
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        x = make_dense(self.dim_out, self.init, in_features=self.dim_in)(x)
+        x = make_dense(self.dim_out, self.dense_init, in_features=self.dim_in)(x)
         if self.layer_norm:
             x = nn.LayerNorm()(x)
         x = nn.relu(x)
@@ -108,14 +108,14 @@ class BottleneckMLP(nn.Module):
     (reference make_efficient_mlp_layer, model/model_utils.py:157-166)."""
     dim: int
     dropout: float = 0.25
-    init: str = DenseInit.TORCH
+    dense_init: str = DenseInit.TORCH
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        h = make_dense(self.dim // 2, self.init, in_features=self.dim)(x)
+        h = make_dense(self.dim // 2, self.dense_init, in_features=self.dim)(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = make_dense(self.dim, self.init, in_features=self.dim // 2)(h)
+        h = make_dense(self.dim, self.dense_init, in_features=self.dim // 2)(h)
         return h
 
 
@@ -133,18 +133,18 @@ class GatedAttention(nn.Module):
     dim_d: int
     dropout: float = 0.25
     n_classes: int = 1
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        a = jnp.tanh(make_dense(self.dim_d, self.init, in_features=self.dim_l,
+        a = jnp.tanh(make_dense(self.dim_d, self.dense_init, in_features=self.dim_l,
                                 name="attention_a")(x))
-        b = nn.sigmoid(make_dense(self.dim_d, self.init, in_features=self.dim_l,
+        b = nn.sigmoid(make_dense(self.dim_d, self.dense_init, in_features=self.dim_l,
                                   name="attention_b")(x))
         if self.dropout:
             a = nn.Dropout(0.25)(a, deterministic=deterministic)
             b = nn.Dropout(0.25)(b, deterministic=deterministic)
-        scores = make_dense(self.n_classes, self.init, in_features=self.dim_d,
+        scores = make_dense(self.n_classes, self.dense_init, in_features=self.dim_d,
                             name="attention_c")(a * b)
         return scores
 
@@ -158,17 +158,17 @@ class GAPool(nn.Module):
     in_dim: int
     hid_dim: int
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
-        emb = jnp.tanh(make_dense(self.hid_dim, self.init, in_features=self.in_dim,
+        emb = jnp.tanh(make_dense(self.hid_dim, self.dense_init, in_features=self.in_dim,
                                   name="fc1")(x))
         emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
-        scr = nn.sigmoid(make_dense(self.hid_dim, self.init, in_features=self.in_dim,
+        scr = nn.sigmoid(make_dense(self.hid_dim, self.dense_init, in_features=self.in_dim,
                                     name="score")(x))
         scr = nn.Dropout(self.dropout)(scr, deterministic=deterministic)
-        rep = make_dense(1, self.init, in_features=self.hid_dim, name="fc2")(emb * scr)
+        rep = make_dense(1, self.dense_init, in_features=self.hid_dim, name="fc2")(emb * scr)
         attn = masked_softmax(rep[..., 0], mask, axis=-1)  # [B, N]
         return jnp.einsum("bn,bnd->bd", attn, x)
 
@@ -191,7 +191,7 @@ class AvgPoolPatchEmbedding(nn.Module):
     out_dim: int
     scale: int = 4
     ksize: int = 1
-    init: str = DenseInit.TORCH  # Conv2d keeps torch default in the reference
+    dense_init: str = DenseInit.TORCH  # Conv2d keeps torch default in the reference
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
@@ -199,7 +199,7 @@ class AvgPoolPatchEmbedding(nn.Module):
         s2 = self.scale * self.scale
         L = N // s2
         if self.ksize == 1:
-            h = make_dense(self.out_dim, self.init, in_features=self.in_dim)(x)
+            h = make_dense(self.out_dim, self.dense_init, in_features=self.in_dim)(x)
         else:
             # conv over each region's 4x4 grid: [B*L, 4, 4, C] -> same spatial
             h = x.reshape(B * L, self.scale, self.scale, C)
@@ -239,7 +239,7 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.25
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
 
     @nn.compact
@@ -257,13 +257,13 @@ class TransformerEncoderLayer(nn.Module):
         attn = _masked_mha(q, k, v, mask, self.dropout, deterministic, self,
                            use_pallas=self.use_pallas)
         attn = attn.reshape(B, L, D)
-        attn = make_dense(D, self.init, in_features=D, name="out_proj")(attn)
+        attn = make_dense(D, self.dense_init, in_features=D, name="out_proj")(attn)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1")(x)
-        ff = make_dense(self.dim_feedforward, self.init, in_features=D, name="linear1")(x)
+        ff = make_dense(self.dim_feedforward, self.dense_init, in_features=D, name="linear1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        ff = make_dense(D, self.init, in_features=self.dim_feedforward, name="linear2")(ff)
+        ff = make_dense(D, self.dense_init, in_features=self.dim_feedforward, name="linear2")(ff)
         x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         x = nn.LayerNorm(name="norm2")(x)
         # zero out padded positions so downstream pools see clean zeros
@@ -326,7 +326,7 @@ class NoiseMLPHead(nn.Module):
     norm: bool = False
     dropout: float = 0.25
     noise_dist: str = "uniform"
-    init: str = DenseInit.XAVIER
+    dense_init: str = DenseInit.XAVIER
 
     @nn.compact
     def __call__(self, h, *, zero_noise: bool, deterministic: bool):
@@ -353,11 +353,11 @@ class NoiseMLPHead(nn.Module):
                 data = h
                 fan_in = in_dims[i]
             if i == num_layers - 1:
-                h = make_dense(out_dims[i], self.init, in_features=fan_in,
+                h = make_dense(out_dims[i], self.dense_init, in_features=fan_in,
                                name=f"mlp_{i}")(data)
             else:
                 h = MLPBlock(fan_in, out_dims[i], layer_norm=self.norm,
-                             dropout=self.dropout, init=self.init,
+                             dropout=self.dropout, dense_init=self.dense_init,
                              name=f"mlp_{i}")(data, deterministic=deterministic)
         return h
 

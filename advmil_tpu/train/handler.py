@@ -1,0 +1,519 @@
+"""Adversarial training handler: model init, training loop, SSL, test mode.
+
+Orchestration parity with the reference MyHandler (reference
+model/model_handler.py:35-778): same config keys, same checkpoint/metrics/CSV
+artifacts, same early-stopping and plateau-LR behavior — but the hot loop is
+bucketed padded batches through one jitted D+G step instead of 16 eager
+single-bag forwards per optimizer step.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import os.path as osp
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import losses
+from ..config import check_configs
+from ..data.bags import prepare_dataset, BucketBatcher
+from ..eval import prepare_evaluator
+from ..models.backbones import load_backbone
+from ..models.gan import Generator, Discriminator, PrjDiscriminator
+from ..utils.func import (sparse_key, sparse_str, EarlyStopping,
+                          add_prefix_to_filename, print_config, print_metrics,
+                          rename_keys, sampling_data, get_kfold_pids,
+                          seed_everything)
+from ..utils.io import (read_datasplit_npz, read_maxt_from_table,
+                        save_prediction)
+from ..utils.logging import RunLogger
+from . import checkpoint as ckpt_lib
+from .optim import create_optimizer, ReduceLROnPlateau
+from .steps import (AdvTrainState, make_adv_train_step, make_eval_step,
+                    make_supervised_loss)
+
+
+class AdvHandler:
+    """Adversarial (generator/discriminator) survival training."""
+
+    def __init__(self, cfg: dict):
+        check_configs(cfg)
+        seed_everything(cfg["seed"])
+        self.cfg = cfg
+        self.task = cfg["task"]
+        self.bcb = cfg["bcb_mode"]
+        self.nbins = cfg.get("time_bins", 4)
+        self._setup_paths()
+
+        # ---- models (reference model/model_handler.py:72-91) ----
+        backbone_dims = sparse_str(cfg["bcb_dims"])
+        backbone = load_backbone(self.bcb, backbone_dims,
+                                 use_pallas=cfg.get("use_pallas", True),
+                                 num_graph_layers=cfg.get("num_graph_layers", 1))
+        dim_in, dim_out = sparse_str(cfg["gen_dims"])
+        args_noise = SimpleNamespace(**sparse_key(cfg, prefixes="gen_noi"))
+        noise_flags = sparse_str(args_noise.noise)
+        self.gen_model = Generator(
+            backbone=backbone, dim_in=dim_in, dim_out=dim_out,
+            noise=tuple(noise_flags), hops=args_noise.hops,
+            noise_dist=(args_noise.noise_dist or "uniform"),
+            norm=cfg["gen_norm"], dropout=cfg["gen_dropout"],
+            out_scale=cfg["gen_out_scale"])
+        dx = SimpleNamespace(**sparse_key(cfg, prefixes="disc_netx"))
+        dy = SimpleNamespace(**sparse_key(cfg, prefixes="disc_nety"))
+        dy.hid_dims = sparse_str(dy.hid_dims)
+        disc_kw = dict(netx_in_dim=dx.in_dim, netx_out_dim=dx.out_dim,
+                       netx_ksize=dx.ksize, netx_dropout=dx.dropout,
+                       nety_in_dim=dy.in_dim, nety_hid_dims=tuple(dy.hid_dims),
+                       nety_norm=dy.norm, nety_dropout=dy.dropout)
+        if cfg["disc_type"] == "prj":
+            self.disc_model = PrjDiscriminator(
+                prj_path=cfg["disc_prj_path"],
+                inner_product=cfg["disc_prj_iprd"], **disc_kw)
+        else:
+            self.disc_model = Discriminator(**disc_kw)
+        self.feat_dim = backbone_dims[0]
+
+        # ---- param init with seed-derived keys ----
+        root = jax.random.PRNGKey(cfg["seed"])
+        kG, kD, kstep = jax.random.split(root, 3)
+        dummy = self._dummy_batch()
+        self.params_G = self.gen_model.init(
+            {"params": kG, "noise": kG, "dropout": kG},
+            dummy["feats"], dummy["mask"], dummy["extra"],
+            zero_noise=True, deterministic=True)["params"]
+        t_dummy = jnp.zeros((1, dy.in_dim), jnp.float32)
+        self.params_D = self.disc_model.init(
+            {"params": kD, "dropout": kD},
+            dummy["feats"], t_dummy, dummy["mask"], deterministic=True)["params"]
+
+        # ---- losses / optimizers (reference model/model_handler.py:94-109) ----
+        self.sup_loss_fn = make_supervised_loss(self.task, cfg)
+        self.real_fake_which = cfg["loss_netD"]
+        self.coef_gan = cfg["loss_gan_coef"]
+        self.l1_coef = cfg["loss_regl1_coef"] or 0.0
+
+        def make_G_tx(learning_rate):
+            return create_optimizer(cfg["opt_netG"], learning_rate,
+                                    weight_decay=cfg["opt_netG_weight_decay"],
+                                    params=self.params_G)
+
+        self.base_lr_G = cfg["opt_netG_lr"]
+        self.tx_G = optax.inject_hyperparams(make_G_tx)(
+            learning_rate=self.base_lr_G)
+        self.tx_D = optax.adam(cfg["opt_netD_lr"], b1=0.9, b2=0.999)
+        self.state = AdvTrainState(
+            params_G=self.params_G, params_D=self.params_D,
+            opt_G=self.tx_G.init(self.params_G),
+            opt_D=self.tx_D.init(self.params_D), rng=kstep)
+
+        self.train_step = make_adv_train_step(
+            self.gen_model, self.disc_model, self.tx_G, self.tx_D,
+            task=self.task, bcb_mode=self.bcb, loss_netD=self.real_fake_which,
+            coef_gan=self.coef_gan, l1_coef=self.l1_coef,
+            gen_updates=cfg["gen_updates"], nbins=self.nbins,
+            sup_loss_fn=self.sup_loss_fn, donate=False)
+        self._eval_steps = {}
+
+        # ---- evaluator (reference model/model_handler.py:112-130) ----
+        end_time = (read_maxt_from_table(cfg["path_label"])
+                    if cfg["time_format"] in ["origin", "quantile"] else 1.0)
+        disc_loss = functools.partial(losses.real_fake_loss,
+                                      which=self.real_fake_which)
+        if self.task == "cont_gansurv":
+            self.evaluator = prepare_evaluator(
+                "continuous", end_time=end_time, recon_loss=self.sup_loss_fn,
+                rank_loss=None, disc_loss=disc_loss)
+            self.metrics_list = ["c_index", "loss_recon", "loss_recon_org",
+                                 "loss_fake_netD", "loss_fake_netG", "avg_fake",
+                                 "event_t_rae", "nonevent_t_rae", "event_t_nre",
+                                 "nonevent_t_nre"]
+            self.ret_metrics = ["c_index", "loss_recon_org"]
+        else:
+            self.evaluator = prepare_evaluator(
+                "discrete", mle_loss=self.sup_loss_fn, disc_loss=disc_loss)
+            self.metrics_list = ["c_index", "loss_mle", "loss_mle_org",
+                                 "loss_fake_netD", "loss_fake_netG", "avg_fake"]
+            self.ret_metrics = ["c_index", "loss_mle_org"]
+
+        self.patient_id = {}
+        self.np_rng = np.random.default_rng(cfg["seed"])
+        run_name = (self.save_dir.rstrip("/").split("/")[-1])
+        self.logger = RunLogger(cfg.get("wandb_prj"), run_name, self.save_dir,
+                                config=cfg)
+        print_config(cfg, print_to_path=self.config_path)
+
+    # ------------------------------------------------------------------
+    # setup helpers
+    # ------------------------------------------------------------------
+
+    def _setup_paths(self):
+        cfg = self.cfg
+        if cfg["test"]:
+            cfg["test_save_path"] = cfg["test_save_path"].format(
+                cfg["test_mask_ratio"], cfg["data_split_seed"])
+            cfg["test_load_path"] = cfg["test_load_path"].format(
+                cfg["data_split_seed"])
+            os.makedirs(cfg["test_save_path"], exist_ok=True)
+            self.save_dir = cfg["test_save_path"]
+            self.load_dir = cfg["test_load_path"]
+        else:
+            os.makedirs(cfg["save_path"], exist_ok=True)
+            self.save_dir = cfg["save_path"]
+            self.load_dir = cfg["save_path"]
+        self.config_path = osp.join(self.save_dir, "print_config.txt")
+        self.metrics_paths = {
+            "best": osp.join(self.save_dir, "metrics-best.txt"),
+            "last": osp.join(self.save_dir, "metrics-last.txt")}
+
+    def _ckpt_path(self, net: str, ckpt_type: str, run_name: str,
+                   load: bool = False) -> str:
+        base = self.load_dir if load else self.save_dir
+        return osp.join(base, f"{run_name}_model{net}-{ckpt_type}.ckpt")
+
+    def _dummy_batch(self) -> dict:
+        n = 16
+        feats = jnp.zeros((1, n, sparse_str(self.cfg["bcb_dims"])[0]), jnp.float32)
+        mask = jnp.ones((1, n), jnp.float32)
+        if self.bcb == "cluster":
+            extra = jnp.zeros((1, n), jnp.int32)
+        elif self.bcb == "graph":
+            extra = {"edge_index": jnp.zeros((1, n, 2), jnp.int32),
+                     "edge_mask": jnp.ones((1, n), jnp.float32)}
+        else:
+            extra = None
+        return {"feats": feats, "mask": mask, "extra": extra}
+
+    def _batcher(self, dataset) -> BucketBatcher:
+        return BucketBatcher(dataset,
+                             token_budget=self.cfg["batch_token_budget"],
+                             max_batch=self.cfg["batch_max_size"],
+                             min_bucket=self.cfg["bucket_min"])
+
+    def _to_device(self, batch, visible_set=None) -> dict:
+        if visible_set is None:
+            visible = np.ones_like(batch.sample_mask)
+        else:
+            visible = np.asarray(
+                [1.0 if self._pid_of(batch, j) in visible_set else 0.0
+                 for j in range(len(batch.idx))], np.float32)
+        dev = {"feats": jnp.asarray(batch.feats), "mask": jnp.asarray(batch.mask),
+               "label": jnp.asarray(batch.label),
+               "sample_mask": jnp.asarray(batch.sample_mask),
+               "visible": jnp.asarray(visible)}
+        for k, v in batch.extra.items():
+            dev[k] = jnp.asarray(v)
+        return dev
+
+    def _pid_of(self, batch, j):
+        return self._cur_dataset.pids[int(batch.idx[j])]
+
+    # ------------------------------------------------------------------
+    # public entry points (reference exec / exec_test / exec_semi_sl)
+    # ------------------------------------------------------------------
+
+    def exec(self):
+        cfg = self.cfg
+        print(f"[exec] execute task {self.task} using backbone-mode {self.bcb}.")
+        path_split = cfg["data_split_path"].format(cfg["data_split_seed"])
+        pids_train, pids_val, pids_test = read_datasplit_npz(path_split)
+        self.patient_id["label_visible"] = set(
+            pids_train + pids_val + (pids_test or []))
+        print(f"[exec] read patient IDs from {path_split}")
+
+        train_set = prepare_dataset(pids_train, cfg,
+                                    ratio_sampling=cfg["train_sampling"],
+                                    rng=self.np_rng)
+        val_set = prepare_dataset(pids_val, cfg, rng=self.np_rng)
+        self.patient_id["train"] = train_set.pids
+        self.patient_id["validation"] = val_set.pids
+        loaders = {"train": (train_set, self._batcher(train_set)),
+                   "validation": (val_set, self._batcher(val_set))}
+        if pids_test is not None:
+            test_set = prepare_dataset(pids_test, cfg, rng=self.np_rng)
+            self.patient_id["test"] = test_set.pids
+            loaders["test"] = (test_set, self._batcher(test_set))
+
+        val_loaders = {k: v for k, v in loaders.items() if k != "train"}
+        self._run_training(cfg["epochs"], loaders["train"], "train",
+                           val_loaders=val_loaders, val_name="validation",
+                           early_stop=True, run_name="train")
+        metrics = self._eval_all(loaders, ckpt_type="best", run_name="train")
+        return metrics
+
+    def exec_test(self):
+        cfg = self.cfg
+        print(f"[exec] execute test {self.task} using backbone-mode {self.bcb}.")
+        path_split = cfg["data_split_path"].format(cfg["data_split_seed"])
+        pids_train, pids_val, pids_test = read_datasplit_npz(path_split)
+        pids = {"train": pids_train, "val": pids_val,
+                "test": pids_test}[cfg["test_path"]]
+        test_set = prepare_dataset(pids, cfg, mask_ratio=cfg["test_mask_ratio"],
+                                   rng=self.np_rng)
+        self.patient_id["exec-test"] = test_set.pids
+        loaders = {"exec-test": (test_set, self._batcher(test_set))}
+        return self._eval_all(loaders, ckpt_type="best", run_name="train",
+                              test_mode=True, test_mode_name="test_mode",
+                              test_zero_noise=cfg["test_zero_noise"])
+
+    def exec_semi_sl(self):
+        """Semi-supervised training (reference model/model_handler.py:680-778):
+        split train pids into labeled/unlabeled, train 'wolabel' with
+        per-sample label visibility; UD+LD mixes unlabeled k-folds."""
+        cfg = self.cfg
+        assert cfg["semi_training"]
+        path_split = cfg["data_split_path"].format(cfg["data_split_seed"])
+        pids_train, pids_val, pids_test = read_datasplit_npz(path_split)
+        labeled, unlabeled = sampling_data(pids_train, cfg["ssl_num_labeled"],
+                                           rng=self.np_rng)
+        self.patient_id["label_visible"] = set(labeled)
+        self.patient_id["label_invisible"] = set(unlabeled)
+
+        labeled_set = prepare_dataset(labeled, cfg, rng=self.np_rng)
+        unlabeled_set = prepare_dataset(unlabeled, cfg, rng=self.np_rng)
+        self.patient_id["labeled_train"] = labeled_set.pids
+        self.patient_id["unlabeled_train"] = unlabeled_set.pids
+        val_set = prepare_dataset(pids_val, cfg, rng=self.np_rng)
+        test_set = prepare_dataset(pids_test, cfg, rng=self.np_rng)
+        self.patient_id["validation"] = val_set.pids
+        self.patient_id["test"] = test_set.pids
+        val_loaders = {"validation": (val_set, self._batcher(val_set)),
+                       "test": (test_set, self._batcher(test_set))}
+
+        mode = cfg["semi_training_mode"]
+        if "UD" in mode and "LD" in mode:
+            run_name = "semitrain_LD_UD"
+            kfold_pids = get_kfold_pids(unlabeled, cfg["ssl_kfold"],
+                                        keep_pids=labeled,
+                                        random_state=cfg["seed"])
+            fold_loaders, fold_names = [], []
+            for i, kth in enumerate(kfold_pids):
+                name = f"fold{i}_mixed_train"
+                ds = prepare_dataset(kth, cfg, rng=self.np_rng)
+                self.patient_id[name] = ds.pids
+                fold_loaders.append((ds, self._batcher(ds)))
+                fold_names.append(name)
+            self._run_training(cfg["ssl_epochs"], fold_loaders, fold_names,
+                               mode="wolabel", val_loaders=val_loaders,
+                               val_name="validation", early_stop=True,
+                               run_name=run_name)
+        elif "LD" in mode:
+            run_name = "semitrain_LD"
+            self._run_training(cfg["ssl_epochs"],
+                               (labeled_set, self._batcher(labeled_set)),
+                               "labeled_train", mode="wolabel",
+                               val_loaders=val_loaders, val_name="validation",
+                               early_stop=True, run_name=run_name)
+        elif "UD" in mode:
+            run_name = "semitrain_UD"
+            self._run_training(cfg["ssl_epochs"],
+                               (unlabeled_set, self._batcher(unlabeled_set)),
+                               "unlabeled_train", mode="wolabel",
+                               val_loaders=val_loaders, val_name="validation",
+                               early_stop=True, run_name=run_name)
+        else:
+            print("[exec_semi_sl] no UD/LD specified; nothing to train")
+            return {}
+
+        evals = {"labeled_train": (labeled_set, self._batcher(labeled_set)),
+                 "unlabeled_train": (unlabeled_set, self._batcher(unlabeled_set))}
+        evals.update(val_loaders)
+        return self._eval_all(evals, ckpt_type="best", run_name=run_name)
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def _run_training(self, epochs, train_loader, name_loader, mode="wlabel",
+                      val_loaders=None, val_name=None, early_stop=False,
+                      run_name="train", measure_training_set=True,
+                      save_ckpt=True):
+        cfg = self.cfg
+        prefix = "" if mode == "wlabel" else "ssl_"
+        if early_stop and cfg.get(prefix + "es_patience") is not None:
+            self.early_stop = EarlyStopping(
+                warmup=cfg[prefix + "es_warmup"],
+                patience=cfg[prefix + "es_patience"],
+                start_epoch=cfg[prefix + "es_start_epoch"],
+                verbose=cfg[prefix + "es_verbose"])
+        else:
+            self.early_stop = None
+        self.steplr = ReduceLROnPlateau(factor=0.5, patience=10, verbose=True)
+
+        is_kfold = isinstance(name_loader, (list, tuple))
+        last_epoch = -1
+        for epoch in range(epochs):
+            last_epoch = epoch + 1
+            if is_kfold:
+                cur = epoch % len(name_loader)
+                cltor = self._train_each_epoch(train_loader[cur],
+                                               name_loader[cur], mode=mode)
+                cur_name = name_loader[cur]
+            else:
+                cltor = self._train_each_epoch(train_loader, name_loader,
+                                               mode=mode)
+                cur_name = name_loader
+            if measure_training_set:
+                self._eval_and_print(cltor, name=cur_name, at_epoch=epoch + 1)
+
+            val_metrics = None
+            if val_loaders is not None:
+                for k, (ds, batcher) in val_loaders.items():
+                    cltor = self._run_eval(ds, batcher, n_samples=1)
+                    met_ci, met_loss = self._eval_and_print(cltor, name=k,
+                                                            at_epoch=epoch + 1)
+                    if k == val_name:
+                        val_metrics = (met_ci if cfg["monitor_metrics"] == "ci"
+                                       else met_loss)
+
+            if val_metrics is not None and self.early_stop is not None:
+                scale = self.steplr.step(val_metrics)
+                self._set_lr(self.base_lr_G * scale)
+                self.early_stop(epoch, val_metrics)
+                if self.early_stop.if_save_checkpoint():
+                    self.save_model(epoch + 1, "best", run_name)
+                    print(f"[{run_name} {mode}] best model saved at epoch {epoch + 1}")
+                if self.early_stop.if_stop():
+                    break
+        if save_ckpt:
+            self.save_model(last_epoch, "last", run_name)
+            print(f"[{run_name} {mode}] last model saved at epoch {last_epoch}")
+
+    def _set_lr(self, lr: float):
+        opt_G = self.state.opt_G
+        try:
+            hp = dict(opt_G.hyperparams)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            self.state = self.state.replace(opt_G=opt_G._replace(hyperparams=hp))
+        except AttributeError:
+            pass  # optimizer without injected hyperparams: keep base LR
+
+    def _train_each_epoch(self, loader, name_loader, mode="wlabel"):
+        ds, batcher = loader
+        self._cur_dataset = ds
+        visible_set = (None if mode == "wlabel"
+                       else self.patient_id["label_visible"])
+        cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
+        for batch in batcher.epoch_batches(shuffle=True, rng=self.np_rng):
+            dev = self._to_device(batch, visible_set)
+            self.state, metrics, collect = self.train_step(self.state, dev)
+            self.logger.log({f"train_batch/{k}": float(v)
+                             for k, v in metrics.items()})
+            keep = batch.sample_mask.astype(bool)
+            cltor["y"].append(batch.label[keep])
+            cltor["y_hat"].append(np.asarray(collect["y_hat"])[keep])
+            cltor["f_fake"].append(np.asarray(collect["f_fake"])[keep])
+            cltor["idx"].append(batch.idx[keep])
+        return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def _get_eval_step(self, n_samples: int, zero_noise: bool):
+        key = (n_samples, zero_noise)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = make_eval_step(
+                self.gen_model, self.disc_model, bcb_mode=self.bcb,
+                n_samples=n_samples, zero_noise=zero_noise)
+        return self._eval_steps[key]
+
+    def _run_eval(self, ds, batcher, n_samples=1, zero_noise=False,
+                  params_G=None, params_D=None):
+        self._cur_dataset = ds
+        params_G = self.state.params_G if params_G is None else params_G
+        params_D = self.state.params_D if params_D is None else params_D
+        step = self._get_eval_step(n_samples, zero_noise)
+        rng = jax.random.PRNGKey(self.cfg["seed"] + 777)
+        cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
+        if n_samples > 1:
+            cltor["avg_y_hat"] = []
+            cltor["dist_y_hat"] = []
+        for batch in batcher.epoch_batches(shuffle=False):
+            rng, sub = jax.random.split(rng)
+            dev = self._to_device(batch)
+            out = step(params_G, params_D, dev, sub)
+            keep = batch.sample_mask.astype(bool)
+            cltor["y"].append(batch.label[keep])
+            cltor["idx"].append(batch.idx[keep])
+            cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
+            cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
+            if n_samples > 1:
+                cltor["avg_y_hat"].append(np.asarray(out["avg_y_hat"])[keep])
+                cltor["dist_y_hat"].append(np.asarray(out["dist_y_hat"])[keep])
+        return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
+
+    def _eval_and_print(self, cltor, name="", at_epoch=None):
+        results = self.evaluator.compute(cltor, self.metrics_list)
+        results = rename_keys(results, name, sep="/")
+        print(f"[{name}] At epoch {at_epoch}:",
+              " ".join(f"{k}={v:.6f}," for k, v in results.items()))
+        self.logger.log(results)
+        return [results[name + "/" + k] for k in self.ret_metrics]
+
+    def _eval_all(self, evals_loader, ckpt_type="best", run_name="train",
+                  if_print=True, test_mode=False, test_mode_name="test_mode",
+                  test_zero_noise=False):
+        cfg = self.cfg
+        if test_mode:
+            print("[warning] you are in test mode now.")
+            ckpt_run = "train"
+            group = test_mode_name
+            sampling_times = cfg["test_sampling_times"]
+        else:
+            ckpt_run = run_name
+            group = run_name
+            sampling_times = cfg["times_test_sample"]
+        # load checkpoints
+        pG = pD = None
+        gpath = self._ckpt_path("G", ckpt_type, ckpt_run, load=test_mode)
+        dpath = self._ckpt_path("D", ckpt_type, ckpt_run, load=test_mode)
+        if osp.exists(gpath):
+            _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G)
+            _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D)
+        wandb_group = f"{'bestckpt' if ckpt_type == 'best' else 'lastckpt'}/{group}"
+        print_path = add_prefix_to_filename(self.metrics_paths[ckpt_type], group)
+        csv_name = f"{group}_{ckpt_type}"
+
+        metrics = {}
+        for k, (ds, batcher) in evals_loader.items():
+            cltor = self._run_eval(ds, batcher, n_samples=sampling_times,
+                                   zero_noise=test_zero_noise,
+                                   params_G=pG, params_D=pD)
+            ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")
+            metrics[k] = [("cindex", ci), ("loss", loss)]
+            if cfg["save_prediction"]:
+                cur_y_hat = cltor.get("avg_y_hat", cltor["y_hat"])
+                dist = cltor.get("dist_y_hat")
+                path = osp.join(self.save_dir, f"{csv_name}_pred_{k}.csv")
+                pids = [ds.pids[int(i)] for i in cltor["idx"]]
+                save_prediction(pids, cltor["y"], cur_y_hat, dist, path)
+        if if_print:
+            print_metrics(metrics, print_to_path=print_path)
+        return metrics
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference model/model_handler.py:645-678)
+    # ------------------------------------------------------------------
+
+    def save_model(self, epoch, ckpt_type="best", run_name="train"):
+        ckpt_lib.save_checkpoint(self._ckpt_path("G", ckpt_type, run_name),
+                                 epoch, self.state.params_G, self.state.opt_G)
+        ckpt_lib.save_checkpoint(self._ckpt_path("D", ckpt_type, run_name),
+                                 epoch, self.state.params_D, self.state.opt_D)
+
+    def resume_model(self, ckpt_type="best", run_name="train"):
+        eG, pG, oG = ckpt_lib.restore_checkpoint(
+            self._ckpt_path("G", ckpt_type, run_name),
+            self.state.params_G, self.state.opt_G)
+        eD, pD, oD = ckpt_lib.restore_checkpoint(
+            self._ckpt_path("D", ckpt_type, run_name),
+            self.state.params_D, self.state.opt_D)
+        self.state = self.state.replace(params_G=pG, params_D=pD,
+                                        opt_G=oG, opt_D=oD)
+        print(f"[model] resumed netG/netD from {ckpt_type}_{run_name} "
+              f"at epochs {eG}/{eD}")

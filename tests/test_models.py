@@ -1,0 +1,193 @@
+"""Backbone/GAN forward-shape and padding-invariance tests.
+
+Padding invariance is THE correctness contract of this framework: a bag padded
+to a larger bucket (with mask) must produce the same embedding/score as the
+exact-length bag, matching the reference's B=1 unpadded computation
+(SURVEY.md §7 step 1)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from advmil_tpu.models.backbones import ABMIL, DeepAttnMISL, DualTransHS, PatchGCN
+from advmil_tpu.models.gan import Generator, PrjDiscriminator, Discriminator, SurvNet
+
+RNG = np.random.default_rng(11)
+DIMS = (64, 32, 32)
+
+
+def _bag(n, c=64):
+    return jnp.asarray(RNG.normal(size=(1, n, c)), jnp.float32)
+
+
+def _pad_bag(x, n_to):
+    B, N, C = x.shape
+    return jnp.pad(x, ((0, 0), (0, n_to - N), (0, 0)))
+
+
+def _init_and_apply(model, x, mask, extra=None, **kw):
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "noise": key, "dropout": key},
+                           x, mask, extra, deterministic=True, **kw)
+    out = model.apply(variables, x, mask, extra, deterministic=True, **kw,
+                      rngs={"noise": jax.random.PRNGKey(5)})
+    return variables, out
+
+
+class TestABMIL:
+    def test_shape_and_padding_invariance(self):
+        model = ABMIL(DIMS)
+        x = _bag(48)
+        mask = jnp.ones((1, 48), jnp.float32)
+        variables, h = _init_and_apply(model, x, mask)
+        assert h.shape == (1, 32)
+        xp = _pad_bag(x, 128)
+        mp = jnp.pad(mask, ((0, 0), (0, 80)))
+        hp = model.apply(variables, xp, mp, None, deterministic=True)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(h), atol=1e-5)
+
+
+class TestDeepAttnMISL:
+    def test_padding_invariance(self):
+        model = DeepAttnMISL(DIMS, num_clusters=8)
+        x = _bag(40)
+        cid = jnp.asarray(RNG.integers(0, 8, size=(1, 40)), jnp.int32)
+        mask = jnp.ones((1, 40), jnp.float32)
+        variables, h = _init_and_apply(model, x, mask, cid)
+        assert h.shape == (1, 32)
+        xp = _pad_bag(x, 96)
+        cidp = jnp.pad(cid, ((0, 0), (0, 56)), constant_values=0)  # junk ids
+        mp = jnp.pad(mask, ((0, 0), (0, 56)))
+        hp = model.apply(variables, xp, mp, cidp, deterministic=True)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(h), atol=1e-5)
+
+    def test_empty_cluster_gives_zero_embedding(self):
+        """Reference zero-fills empty clusters (model/backbone.py:114-115)."""
+        model = DeepAttnMISL(DIMS, num_clusters=8)
+        x = _bag(16)
+        cid = jnp.zeros((1, 16), jnp.int32)  # everything in cluster 0
+        mask = jnp.ones((1, 16), jnp.float32)
+        _, h = _init_and_apply(model, x, mask, cid)
+        assert np.all(np.isfinite(np.asarray(h)))
+
+
+class TestDualTransHS:
+    def test_padding_invariance_whole_regions(self):
+        model = DualTransHS(DIMS, nhead=4, use_pallas=False)
+        x = _bag(64)  # 4 regions
+        mask = jnp.ones((1, 64), jnp.float32)
+        variables, h = _init_and_apply(model, x, mask)
+        assert h.shape == (1, 32)
+        xp = _pad_bag(x, 128)  # pad 4 full regions
+        mp = jnp.pad(mask, ((0, 0), (0, 64)))
+        hp = model.apply(variables, xp, mp, None, deterministic=True)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(h), atol=1e-4)
+
+
+class TestPatchGCN:
+    def _graph(self, n):
+        dst, src = [], []
+        for a in range(n):
+            for b in (a - 1, a + 1):
+                if 0 <= b < n:
+                    dst.append(a)
+                    src.append(b)
+        ei = np.zeros((1, len(dst), 2), np.int32)
+        ei[0, :, 0] = dst
+        ei[0, :, 1] = src
+        return jnp.asarray(ei), jnp.ones((1, len(dst)), jnp.float32)
+
+    def test_padding_invariance(self):
+        model = PatchGCN(DIMS, num_layers=1)
+        n = 24
+        x = _bag(n)
+        mask = jnp.ones((1, n), jnp.float32)
+        ei, em = self._graph(n)
+        extra = {"edge_index": ei, "edge_mask": em}
+        variables, h = _init_and_apply(model, x, mask, extra)
+        assert h.shape == (1, 32)
+        # pad nodes and edges
+        xp = _pad_bag(x, 48)
+        mp = jnp.pad(mask, ((0, 0), (0, 24)))
+        eip = jnp.pad(ei, ((0, 0), (0, 10), (0, 0)))
+        emp = jnp.pad(em, ((0, 0), (0, 10)))
+        hp = model.apply(variables, xp, mp,
+                         {"edge_index": eip, "edge_mask": emp},
+                         deterministic=True)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(h), atol=1e-5)
+
+    def test_multi_layer(self):
+        model = PatchGCN(DIMS, num_layers=3)
+        n = 16
+        x = _bag(n)
+        mask = jnp.ones((1, n), jnp.float32)
+        ei, em = self._graph(n)
+        _, h = _init_and_apply(model, x, mask,
+                               {"edge_index": ei, "edge_mask": em})
+        assert h.shape == (1, 32)
+
+
+class TestGAN:
+    def test_generator_shapes_and_noise(self):
+        bcb = ABMIL(DIMS)
+        gen = Generator(backbone=bcb, dim_in=32, dim_out=1, noise=(0, 1),
+                        hops=1, out_scale="sigmoid")
+        x = _bag(32)
+        mask = jnp.ones((1, 32), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = gen.init({"params": key, "noise": key, "dropout": key},
+                             x, mask, None, zero_noise=True, deterministic=True)
+        y1 = gen.apply(variables, x, mask, None, zero_noise=False,
+                       deterministic=True, rngs={"noise": jax.random.PRNGKey(1)})
+        y2 = gen.apply(variables, x, mask, None, zero_noise=False,
+                       deterministic=True, rngs={"noise": jax.random.PRNGKey(2)})
+        y0a = gen.apply(variables, x, mask, None, zero_noise=True,
+                        deterministic=True, rngs={"noise": jax.random.PRNGKey(3)})
+        y0b = gen.apply(variables, x, mask, None, zero_noise=True,
+                        deterministic=True, rngs={"noise": jax.random.PRNGKey(4)})
+        assert y1.shape == (1, 1)
+        assert abs(float(np.squeeze(y1 - y2))) > 0          # noise changes output
+        np.testing.assert_allclose(np.asarray(y0a), np.asarray(y0b))  # zero-noise deterministic
+        assert 0.0 <= float(np.squeeze(y1)) <= 1.0               # sigmoid out_scale
+
+    @pytest.mark.parametrize("iprd", ["bag", "instance"])
+    def test_prj_discriminator_padding_invariance(self, iprd):
+        disc = PrjDiscriminator(netx_in_dim=64, netx_out_dim=16,
+                                nety_in_dim=1, nety_hid_dims=(8, 16),
+                                prj_path="x", inner_product=iprd)
+        x = _bag(32)
+        t = jnp.asarray([[0.7]], jnp.float32)
+        mask = jnp.ones((1, 32), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = disc.init({"params": key, "dropout": key}, x, t, mask,
+                              deterministic=True)
+        s = disc.apply(variables, x, t, mask, deterministic=True)
+        assert s.shape == (1, 1)
+        xp = _pad_bag(x, 64)
+        mp = jnp.pad(mask, ((0, 0), (0, 32)))
+        sp = disc.apply(variables, xp, t, mp, deterministic=True)
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(s), atol=1e-5)
+
+    def test_cat_discriminator(self):
+        disc = Discriminator(netx_in_dim=64, netx_out_dim=16, nety_in_dim=4,
+                             nety_hid_dims=(8, 16))
+        x = _bag(32)
+        t = jnp.asarray(RNG.uniform(size=(1, 4)), jnp.float32)
+        mask = jnp.ones((1, 32), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = disc.init({"params": key, "dropout": key}, x, t, mask,
+                              deterministic=True)
+        s = disc.apply(variables, x, t, mask, deterministic=True)
+        assert s.shape == (1, 1)
+
+    def test_survnet(self):
+        bcb = ABMIL(DIMS)
+        net = SurvNet(backbone=bcb, dim_in=32, dim_out=4, out_scale="sigmoid")
+        x = _bag(32)
+        mask = jnp.ones((1, 32), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = net.init({"params": key, "dropout": key}, x, mask, None,
+                             deterministic=True)
+        y = net.apply(variables, x, mask, None, deterministic=True)
+        assert y.shape == (1, 4)
+        assert np.all((np.asarray(y) >= 0) & (np.asarray(y) <= 1))
