@@ -57,7 +57,10 @@ class BagDataset:
             print(f"[dataset] Sampled {len(patient_ids)} patients, left {len(left)}")
         if ratio_mask is not None and ratio_mask > 1e-5:
             assert ratio_mask <= 1
-            assert mode == "patch", "Only patch mode supports instance masking."
+            # abmil loads patch-style data, so masking applies there too
+            # (reference dataset/utils.py:26-27 maps abmil -> patch mode)
+            assert mode in ("patch", "abmil"), \
+                "Only patch-style modes support instance masking."
             self.ratio_mask = float(ratio_mask)
         else:
             self.ratio_mask = None

@@ -228,9 +228,9 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
     dims = list(dims)[:3]
     if mode == "patch":
         return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
-                           dropout=0.25, dense_init=init, use_pallas=use_pallas)
+                           dropout=0.25, dense_init=dense_init, use_pallas=use_pallas)
     if mode == "cluster":
-        return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=init)
+        return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)
     if mode == "graph":
-        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, dense_init=init)
-    return ABMIL(dims, dropout=0.25, dense_init=init)
+        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, dense_init=dense_init)
+    return ABMIL(dims, dropout=0.25, dense_init=dense_init)

@@ -18,8 +18,8 @@ from flax import serialization
 def save_checkpoint(path: str, epoch: int, params, opt_state):
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     bundle = {"epoch": epoch,
-              "params": jax.device_get(params),
-              "opt_state": jax.device_get(opt_state)}
+              "params": serialization.to_state_dict(jax.device_get(params)),
+              "opt_state": serialization.to_state_dict(jax.device_get(opt_state))}
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(bundle))
 

@@ -1,0 +1,148 @@
+"""End-to-end smoke runs on synthetic data: the 'minimum end-to-end slice' of
+SURVEY.md §7 step 3 (ABMIL + adversarial cont_gansurv) plus the other modes.
+Verifies: training runs, losses are finite, checkpoints + metrics + prediction
+CSVs are produced, and learning moves train C-index above chance."""
+import glob
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from advmil_tpu.config import with_defaults
+from advmil_tpu.data.synthetic import make_synthetic_dataset
+
+
+def base_cfg(paths, tmp_path, **over):
+    cfg = {
+        "task": "cont_gansurv",
+        "seed": 42,
+        "save_path": str(tmp_path / "run"),
+        "dataset": "synthetic",
+        "path_patch": paths["path_patch"],
+        "path_graph": paths["path_graph"],
+        "path_cluster": paths["path_cluster"],
+        "path_coordx5": None,
+        "path_label": paths["path_label"],
+        "feat_format": "npy",
+        "time_format": "ratio",
+        "time_bins": 4,
+        "data_split_path": paths["data_split_path"],
+        "data_split_seed": 0,
+        "bcb_mode": "abmil",
+        "bcb_dims": "1024-64-64",
+        "gen_dims": "64-1",
+        "gen_noi_noise": "0-1",
+        "gen_noi_noise_dist": "uniform",
+        "gen_noi_hops": 1,
+        "gen_norm": False,
+        "gen_dropout": 0.6,
+        "gen_out_scale": "sigmoid",
+        "disc_type": "prj",
+        "disc_netx_in_dim": 1024,
+        "disc_netx_out_dim": 32,
+        "disc_netx_ksize": 1,
+        "disc_netx_backbone": "avgpool",
+        "disc_netx_dropout": 0.25,
+        "disc_nety_in_dim": 1,
+        "disc_nety_hid_dims": "16-32",
+        "disc_nety_norm": False,
+        "disc_nety_dropout": 0.0,
+        "disc_prj_path": "x",
+        "disc_prj_iprd": "instance",
+        "loss_gan_coef": 0.004,
+        "loss_netD": "bce",
+        "loss_regl1_coef": 0.00001,
+        "loss_mle_alpha": 0.0,
+        "loss_recon_norm": "l1",
+        "loss_recon_alpha": 0.0,
+        "loss_recon_gamma": 0.0,
+        "opt_netG": "adam",
+        "opt_netG_lr": 0.0008,
+        "opt_netG_weight_decay": 0.0005,
+        "opt_netD_lr": 0.0008,
+        "epochs": 3,
+        "batch_size": 1,
+        "bp_every_batch": 16,
+        "es_patience": 30,
+        "es_warmup": 1,
+        "es_verbose": False,
+        "es_start_epoch": 0,
+        "gen_updates": 1,
+        "monitor_metrics": "loss",
+        "times_test_sample": 4,
+        "semi_training": False,
+        "semi_training_mode": "none",
+        "ssl_epochs": 2,
+        "ssl_num_labeled": 0.6,
+        "ssl_kfold": 2,
+        "ssl_resume_ckpt": "best",
+        "ssl_es_patience": 5,
+        "ssl_es_warmup": 0,
+        "ssl_es_verbose": False,
+        "ssl_es_start_epoch": 0,
+        "test": False,
+        "test_wandb_prj": None,
+        "test_path": "test",
+        "test_load_path": str(tmp_path / "run"),
+        "test_save_path": str(tmp_path / "test-{}-{}"),
+        "test_mask_ratio": 0.5,
+        "test_sampling_times": 1,
+        "test_zero_noise": True,
+        "batch_token_budget": 4096,
+        "bucket_min": 256,
+    }
+    cfg.update(over)
+    return with_defaults(cfg)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata")
+    return make_synthetic_dataset(str(root), n_patients=30, dim=1024,
+                                  min_regions=4, max_regions=24, seed=1)
+
+
+def test_adv_abmil_cont(synth, tmp_path):
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, epochs=8)
+    handler = AdvHandler(cfg)
+    metrics = handler.exec()
+    assert "test" in metrics
+    ci = dict(metrics["train"])["cindex"]
+    assert np.isfinite(ci)
+    assert ci > 0.55, f"train c-index should beat chance, got {ci}"
+    # artifacts: checkpoints, metrics txt, prediction csv + dist npz
+    assert osp.exists(osp.join(cfg["save_path"], "train_modelG-best.ckpt"))
+    assert osp.exists(osp.join(cfg["save_path"], "train_modelD-last.ckpt"))
+    assert glob.glob(osp.join(cfg["save_path"], "train_metrics-best.txt"))
+    assert glob.glob(osp.join(cfg["save_path"], "*_pred_test.csv"))
+    assert glob.glob(osp.join(cfg["save_path"], "*_pred_test_dist.npz"))
+
+
+def test_adv_disc_task(synth, tmp_path):
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, task="disc_gansurv", time_format="quantile",
+                   gen_dims="64-4", disc_nety_in_dim=4, epochs=2,
+                   disc_prj_iprd="bag")
+    handler = AdvHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+def test_adv_semi_supervised(synth, tmp_path):
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, semi_training=True,
+                   semi_training_mode="UD+LD", ssl_epochs=2, ssl_kfold=2)
+    handler = AdvHandler(cfg)
+    metrics = handler.exec_semi_sl()
+    assert "validation" in metrics
+
+
+def test_adv_test_mode(synth, tmp_path):
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, epochs=2, times_test_sample=4)
+    AdvHandler(cfg).exec()  # produce checkpoints
+    cfg2 = base_cfg(synth, tmp_path, test=True, times_test_sample=4)
+    handler = AdvHandler(cfg2)
+    metrics = handler.exec_test()
+    assert "exec-test" in metrics
