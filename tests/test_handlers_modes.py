@@ -1,0 +1,67 @@
+"""E2E coverage of the remaining backbone modes (patch/ESAT, cluster, graph)
+through the adversarial path, and the three baseline tasks through
+BaselineHandler (SURVEY.md §7 steps 3-5)."""
+import numpy as np
+import pytest
+
+from advmil_tpu.config import with_defaults
+from advmil_tpu.data.synthetic import make_synthetic_dataset
+from tests.test_train_smoke import base_cfg
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthdata2")
+    return make_synthetic_dataset(str(root), n_patients=36, dim=1024,
+                                  min_regions=4, max_regions=20, seed=3)
+
+
+def baseline_cfg(paths, tmp_path, **over):
+    cfg = base_cfg(paths, tmp_path)
+    cfg.update({
+        "task": "surv_reg",
+        "pdh_dims": "64-1",
+        "mlp_hops": 1,
+        "mlp_norm": False,
+        "mlp_dropout": 0.25,
+        "loss_use_censored": False,
+        "opt_net": "adam",
+        "opt_net_lr": 0.0008,
+        "opt_net_weight_decay": 0.0005,
+        "times_test_sample": 1,
+        "gen_noi_noise": "0-0",
+        "epochs": 2,
+    })
+    cfg.update(over)
+    return with_defaults(cfg)
+
+
+@pytest.mark.parametrize("mode", ["patch", "cluster", "graph"])
+def test_adv_other_backbones(synth, tmp_path, mode):
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, bcb_mode=mode, epochs=2,
+                   times_test_sample=2)
+    metrics = AdvHandler(cfg).exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+@pytest.mark.parametrize("task,mode", [("surv_reg", "abmil"),
+                                       ("surv_cox", "abmil"),
+                                       ("surv_nll", "abmil"),
+                                       ("surv_reg", "patch")])
+def test_baseline_tasks(synth, tmp_path, task, mode):
+    from advmil_tpu.train.baseline import BaselineHandler
+    over = {"task": task, "bcb_mode": mode}
+    if task == "surv_nll":
+        over["pdh_dims"] = "64-4"
+    metrics = BaselineHandler(baseline_cfg(synth, tmp_path, **over)).exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+def test_baseline_test_mode(synth, tmp_path):
+    from advmil_tpu.train.baseline import BaselineHandler
+    cfg = baseline_cfg(synth, tmp_path)
+    BaselineHandler(cfg).exec()
+    cfg2 = baseline_cfg(synth, tmp_path, test=True, test_mask_ratio=0.0)
+    metrics = BaselineHandler(cfg2).exec_test()
+    assert "exec-test" in metrics
