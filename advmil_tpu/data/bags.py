@@ -165,12 +165,13 @@ class BucketBatcher:
 
     def __init__(self, dataset: BagDataset, token_budget: int = 32768,
                  max_batch: int = 64, min_bucket: int = 256,
-                 edges_per_node: int = 9):
+                 edges_per_node: int = 9, batch_multiple: int = 1):
         self.ds = dataset
         self.token_budget = token_budget
         self.max_batch = max_batch
         self.min_bucket = min_bucket
         self.edges_per_node = edges_per_node
+        self.batch_multiple = batch_multiple  # e.g. the DP device count
         sizes = dataset.bag_sizes()
         self.buckets = default_buckets(int(sizes.max()), min_bucket)
         self.item_bucket = np.searchsorted(self.buckets, sizes)
@@ -179,7 +180,11 @@ class BucketBatcher:
             self._by_bucket.setdefault(int(b), []).append(i)
 
     def batch_size_for(self, bucket_n: int) -> int:
-        return int(np.clip(self.token_budget // bucket_n, 1, self.max_batch))
+        bb = int(np.clip(self.token_budget // bucket_n, 1, self.max_batch))
+        m = self.batch_multiple
+        if m > 1:
+            bb = max(m, (bb // m) * m)  # divisible by the DP device count
+        return bb
 
     def num_batches(self) -> int:
         total = 0

@@ -140,6 +140,14 @@ class AdvHandler:
                                  "loss_fake_netD", "loss_fake_netG", "avg_fake"]
             self.ret_metrics = ["c_index", "loss_mle_org"]
 
+        # ---- data parallelism (SURVEY.md §2.10: DP is new capability) ----
+        self.mesh = None
+        if int(cfg.get("dp_devices", 1) or 1) > 1:
+            from ..parallel.mesh import make_mesh, replicate_state
+            self.mesh = make_mesh(int(cfg["dp_devices"]))
+            self.state = replicate_state(self.state, self.mesh)
+            print(f"[parallel] data-parallel over {cfg['dp_devices']} devices")
+
         self.patient_id = {}
         self.np_rng = np.random.default_rng(cfg["seed"])
         run_name = (self.save_dir.rstrip("/").split("/")[-1])
@@ -192,7 +200,8 @@ class AdvHandler:
         return BucketBatcher(dataset,
                              token_budget=self.cfg["batch_token_budget"],
                              max_batch=self.cfg["batch_max_size"],
-                             min_bucket=self.cfg["bucket_min"])
+                             min_bucket=self.cfg["bucket_min"],
+                             batch_multiple=int(self.cfg.get("dp_devices", 1) or 1))
 
     def _to_device(self, batch, visible_set=None) -> dict:
         if visible_set is None:
@@ -201,13 +210,13 @@ class AdvHandler:
             visible = np.asarray(
                 [1.0 if self._pid_of(batch, j) in visible_set else 0.0
                  for j in range(len(batch.idx))], np.float32)
-        dev = {"feats": jnp.asarray(batch.feats), "mask": jnp.asarray(batch.mask),
-               "label": jnp.asarray(batch.label),
-               "sample_mask": jnp.asarray(batch.sample_mask),
-               "visible": jnp.asarray(visible)}
-        for k, v in batch.extra.items():
-            dev[k] = jnp.asarray(v)
-        return dev
+        dev = {"feats": batch.feats, "mask": batch.mask, "label": batch.label,
+               "sample_mask": batch.sample_mask, "visible": visible}
+        dev.update(batch.extra)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            return shard_batch(dev, self.mesh)
+        return {k: jnp.asarray(v) for k, v in dev.items()}
 
     def _pid_of(self, batch, j):
         return self._cur_dataset.pids[int(batch.idx[j])]
