@@ -27,6 +27,8 @@ TPU_DEFAULTS = {
     "use_pallas": True,            # pallas flash attention in ESAT
     "num_graph_layers": 1,
     "cache_bags": True,
+    "accum_steps": 1,
+    "profile_dir": None,
     "es_min_epochs": 0,
     "log_plot": False,
     "save_prediction": True,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (DenseInit, GatedAttention, GAPool, AvgPoolPatchEmbedding,
-                     TransformerEncoderLayer, make_dense)
+                     TransformerEncoderLayer, make_dense, make_embedding_layer)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
 from ..ops.segment import segment_softmax_aggregate
 from ..ops.pe import compute_pe
@@ -195,6 +195,7 @@ class DualTransHS(nn.Module):
     nhead: int = 8
     num_layers: int = 1
     emb_ksize: int = 1
+    emb_backbone: str = "avgpool"   # 'avgpool' | 'gapool'
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
@@ -203,8 +204,9 @@ class DualTransHS(nn.Module):
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
         dim_in, dim_hid, dim_out = self.dims
         assert dim_hid == dim_out
-        emb = AvgPoolPatchEmbedding(dim_in, dim_hid, ksize=self.emb_ksize,
-                                    name="patch_embedding")(
+        emb = make_embedding_layer(self.emb_backbone, dim_in, dim_hid,
+                                   ksize=self.emb_ksize,
+                                   name="patch_embedding")(
             x, mask, deterministic=deterministic)        # [B, L, hid]
         rmask = region_mask_from_patch_mask(mask)        # [B, L]
         if extra is not None:                            # region coords [B, L, 2]

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (DenseInit, GAPool, AvgPoolPatchEmbedding, BottleneckMLP,
-                     MLPBlock, NoiseMLPHead, apply_out_scale, make_dense)
+                     MLPBlock, NoiseMLPHead, apply_out_scale, make_dense,
+                     make_embedding_layer)
 from ..ops.masked import masked_mean, region_mask_from_patch_mask
 
 
@@ -51,13 +52,15 @@ class EmbedXLayer(nn.Module):
     out_dim: int
     ksize: int = 1
     dropout: float = 0.25
+    backbone: str = "avgpool"  # 'avgpool' | 'gapool' (cfg disc_netx_backbone)
     dense_init: str = DenseInit.TORCH
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
-        emb_ins = AvgPoolPatchEmbedding(self.in_dim, self.out_dim,
-                                        ksize=self.ksize, dense_init=self.dense_init,
-                                        name="embedding")(
+        emb_ins = make_embedding_layer(self.backbone, self.in_dim, self.out_dim,
+                                       ksize=self.ksize,
+                                       dense_init=self.dense_init,
+                                       name="embedding")(
             x, mask, deterministic=deterministic)       # [B, L, C']
         rmask = region_mask_from_patch_mask(mask)
         fc_ins = BottleneckMLP(self.out_dim, dropout=self.dropout, dense_init=self.dense_init,
@@ -99,6 +102,7 @@ class Discriminator(nn.Module):
     nety_hid_dims: Sequence[int]
     netx_ksize: int = 1
     netx_dropout: float = 0.25
+    netx_backbone: str = "avgpool"
     nety_norm: bool = False
     nety_dropout: float = 0.0
 
@@ -109,6 +113,7 @@ class Discriminator(nn.Module):
                             name="net_pair_two")(t, deterministic=deterministic)
         hid_x, _, _ = EmbedXLayer(self.netx_in_dim, self.netx_out_dim,
                                   ksize=self.netx_ksize, dropout=self.netx_dropout,
+                                  backbone=self.netx_backbone,
                                   name="net_pair_one")(
             x, mask, deterministic=deterministic)
         hid = jnp.concatenate([hid_x, hid_t], axis=-1)
@@ -131,6 +136,7 @@ class PrjDiscriminator(nn.Module):
     inner_product: str = "bag"   # 'bag' / 'instance'
     netx_ksize: int = 1
     netx_dropout: float = 0.25
+    netx_backbone: str = "avgpool"
     nety_norm: bool = False
     nety_dropout: float = 0.0
 
@@ -142,7 +148,8 @@ class PrjDiscriminator(nn.Module):
                             name="net_pair_two")(t, deterministic=deterministic)
         hid_x, emb_ins, rmask = EmbedXLayer(
             self.netx_in_dim, self.netx_out_dim, ksize=self.netx_ksize,
-            dropout=self.netx_dropout, name="net_pair_one")(
+            dropout=self.netx_dropout, backbone=self.netx_backbone,
+            name="net_pair_one")(
             x, mask, deterministic=deterministic)
         if self.inner_product == "bag":
             out = jnp.sum(hid_t * hid_x, axis=-1, keepdims=True)   # [B, 1]

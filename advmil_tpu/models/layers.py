@@ -223,6 +223,79 @@ def torch_linear_kernel_init_conv(fan_in: int):
     return init
 
 
+class GAPoolPatchEmbedding(nn.Module):
+    """Alternative patch embedding pooling each 4x4 region with global
+    attention instead of an average (reference GAPoolPatchEmbedding,
+    model/backbone_utils.py:171-202; unused in the default config but part of
+    make_embedding_layer's surface)."""
+    in_dim: int
+    out_dim: int
+    scale: int = 4
+    ksize: int = 1
+    dense_init: str = DenseInit.TORCH
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool):
+        B, N, C = x.shape
+        s2 = self.scale * self.scale
+        L = N // s2
+        if self.ksize == 1:
+            h = make_dense(self.out_dim, self.dense_init, in_features=self.in_dim)(x)
+        else:
+            h = x.reshape(B * L, self.scale, self.scale, C)
+            h = nn.Conv(self.out_dim, kernel_size=(self.ksize, self.ksize),
+                        padding="SAME",
+                        kernel_init=torch_linear_kernel_init_conv(self.in_dim * self.ksize ** 2),
+                        bias_init=torch_linear_bias_init_for(self.in_dim * self.ksize ** 2))(h)
+            h = h.reshape(B, N, self.out_dim)
+        h = nn.LayerNorm()(h)
+        h = nn.relu(h)
+        h = h.reshape(B * L, s2, self.out_dim)
+        m = mask.reshape(B * L, s2)
+        pooled = GAPool(self.out_dim, self.out_dim, dropout=0.0,
+                        dense_init=self.dense_init, name="pool")(
+            h, m, deterministic=deterministic)
+        return pooled.reshape(B, L, self.out_dim)
+
+
+def make_embedding_layer(backbone: str, in_dim: int, out_dim: int,
+                         ksize: int = 1, dense_init: str = DenseInit.TORCH,
+                         name: str | None = None) -> nn.Module:
+    """Embedding-layer factory (reference make_embedding_layer,
+    model/backbone_utils.py:101-111)."""
+    if backbone == "gapool":
+        return GAPoolPatchEmbedding(in_dim, out_dim, ksize=ksize,
+                                    dense_init=dense_init, name=name)
+    if backbone == "avgpool":
+        return AvgPoolPatchEmbedding(in_dim, out_dim, ksize=ksize,
+                                     dense_init=dense_init, name=name)
+    raise NotImplementedError(f"{backbone} has not implemented.")
+
+
+class NoisePerturbationLayer(nn.Module):
+    """Concat same-shaped noise then Dense+LN+Dropout back to in_dim
+    (reference NoisePerturbationLayer, model/model_utils.py:135-152; an
+    alternative noise-injection layer kept for surface parity)."""
+    in_channels: int
+    noise_dist: str = "uniform"
+    dropout: float = 0.25
+    dense_init: str = DenseInit.XAVIER
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        rng = self.make_rng("noise")
+        if self.noise_dist == "uniform":
+            noise = jax.random.uniform(rng, x.shape, x.dtype)
+        else:
+            noise = jax.random.normal(rng, x.shape, x.dtype)
+        data = jnp.concatenate([x, noise], axis=-1)
+        h = make_dense(self.in_channels, self.dense_init,
+                       in_features=2 * self.in_channels)(data)
+        h = nn.LayerNorm()(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
 # ---------------------------------------------------------------------------
 # Masked transformer encoder (reference make_transformer_layer,
 # model/backbone_utils.py:113-127; torch TransformerEncoderLayer post-LN)

@@ -68,6 +68,7 @@ class AdvHandler:
         dy.hid_dims = sparse_str(dy.hid_dims)
         disc_kw = dict(netx_in_dim=dx.in_dim, netx_out_dim=dx.out_dim,
                        netx_ksize=dx.ksize, netx_dropout=dx.dropout,
+                       netx_backbone=getattr(dx, "backbone", "avgpool"),
                        nety_in_dim=dy.in_dim, nety_hid_dims=tuple(dy.hid_dims),
                        nety_norm=dy.norm, nety_dropout=dy.dropout)
         if cfg["disc_type"] == "prj":
@@ -106,6 +107,13 @@ class AdvHandler:
         self.tx_G = optax.inject_hyperparams(make_G_tx)(
             learning_rate=self.base_lr_G)
         self.tx_D = optax.adam(cfg["opt_netD_lr"], b1=0.9, b2=0.999)
+        # optional gradient accumulation (the reference's bp_every_batch
+        # pattern is replaced by true batching; accumulation stays available
+        # for memory-constrained giant buckets, SURVEY.md §2.10)
+        accum = int(cfg.get("accum_steps", 1) or 1)
+        if accum > 1:
+            self.tx_G = optax.MultiSteps(self.tx_G, accum)
+            self.tx_D = optax.MultiSteps(self.tx_D, accum)
         self.state = AdvTrainState(
             params_G=self.params_G, params_D=self.params_D,
             opt_G=self.tx_G.init(self.params_G),
@@ -354,9 +362,12 @@ class AdvHandler:
         self.steplr = ReduceLROnPlateau(factor=0.5, patience=10, verbose=True)
 
         is_kfold = isinstance(name_loader, (list, tuple))
+        profile_dir = cfg.get("profile_dir")  # jax.profiler trace of epoch 2
         last_epoch = -1
         for epoch in range(epochs):
             last_epoch = epoch + 1
+            if profile_dir and epoch == 1:
+                jax.profiler.start_trace(profile_dir)
             if is_kfold:
                 cur = epoch % len(name_loader)
                 cltor = self._train_each_epoch(train_loader[cur],
@@ -366,6 +377,9 @@ class AdvHandler:
                 cltor = self._train_each_epoch(train_loader, name_loader,
                                                mode=mode)
                 cur_name = name_loader
+            if profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
+                print(f"[profile] epoch-2 trace written to {profile_dir}")
             if measure_training_set:
                 self._eval_and_print(cltor, name=cur_name, at_epoch=epoch + 1)
 
@@ -495,6 +509,11 @@ class AdvHandler:
                                    params_G=pG, params_D=pD)
             ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")
             metrics[k] = [("cindex", ci), ("loss", loss)]
+            if cfg.get("log_plot"):
+                from ..utils.func import plot_time_kde
+                fig = plot_time_kde(cltor["y"],
+                                    cltor.get("avg_y_hat", cltor["y_hat"]))
+                self.logger.log_image(f"{wandb_group}/{k}/chart", fig)
             if cfg["save_prediction"]:
                 cur_y_hat = cltor.get("avg_y_hat", cltor["y_hat"])
                 dist = cltor.get("dist_y_hat")
