@@ -1,0 +1,160 @@
+"""Data-layer tests: table retrieval/time formats, bucketed batching
+invariants, k-fold parity with sklearn, early-stopping semantics."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from advmil_tpu.utils.io import (retrieve_from_table, compute_discrete_label,
+                                 read_datasplit_npz, save_prediction)
+from advmil_tpu.utils.func import EarlyStopping, get_kfold_pids
+from advmil_tpu.data.bags import BagDataset, BucketBatcher, default_buckets
+from advmil_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def table(tmp_path_factory):
+    path = tmp_path_factory.mktemp("tbl") / "labels.csv"
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(20):
+        pid = f"P{i:03d}"
+        # patient 0 has two slides
+        n_slides = 2 if i == 0 else 1
+        for s in range(n_slides):
+            rows.append({"pathology_id": f"S{i:03d}_{s}", "patient_id": pid,
+                         "t": float(rng.uniform(10, 100)),
+                         "e": int(rng.uniform() < 0.6)})
+    pd.DataFrame(rows).to_csv(path, index=False)
+    return str(path)
+
+
+class TestRetrieveFromTable:
+    def test_origin_and_multislide(self, table):
+        pids = [f"P{i:03d}" for i in range(5)]
+        pid, pid2sid, pid2label = retrieve_from_table(pids, table,
+                                                      time_format="origin")
+        assert pid == pids
+        assert len(pid2sid["P000"]) == 2     # two slides concatenated
+        assert len(pid2sid["P001"]) == 1
+        t, e = pid2label["P000"]
+        assert 10 <= t <= 100 and e in (0.0, 1.0)
+
+    def test_ratio_divides_by_table_max(self, table):
+        df = pd.read_csv(table)
+        max_t = df["t"].max()
+        pids = [f"P{i:03d}" for i in range(20)]
+        _, _, pid2label = retrieve_from_table(pids, table, time_format="ratio")
+        _, _, pid2label_org = retrieve_from_table(pids, table,
+                                                  time_format="origin")
+        for p in pids:
+            np.testing.assert_allclose(pid2label[p][0],
+                                       pid2label_org[p][0] / max_t, rtol=1e-6)
+
+    def test_quantile_bins(self, table):
+        pids = [f"P{i:03d}" for i in range(20)]
+        _, _, pid2label = retrieve_from_table(pids, table,
+                                              time_format="quantile",
+                                              time_bins=4)
+        bins = np.array([pid2label[p][0] for p in pids])
+        assert bins.min() >= 0 and bins.max() <= 3
+        assert bins.dtype.kind == "f" and np.all(bins == bins.astype(int))
+        # event patients spread across all 4 bins by construction of qcut
+        df = pd.read_csv(table)
+        evt = df.drop_duplicates("patient_id")
+        evt = evt[evt.e == 1]
+        evt_bins = {pid2label[str(p)][0] for p in evt.patient_id}
+        assert len(evt_bins) >= 3
+
+    def test_compute_discrete_label_edges(self):
+        """qcut edges widened by 1e-5 so min/max rows always fall in a bin
+        (reference utils/func.py:82-89)."""
+        df = pd.DataFrame({"pathology_id": list("abcdefgh"),
+                           "patient_id": list("ABCDEFGH"),
+                           "t": [1, 2, 3, 4, 5, 6, 7, 8.0],
+                           "e": [1, 1, 1, 1, 1, 1, 1, 1]})
+        out, cols = compute_discrete_label(df, bins=4)
+        assert cols == ["y_t", "y_c"]
+        assert out["y_t"].min() == 0 and out["y_t"].max() == 3
+        assert not out["y_t"].isna().any()
+
+
+class TestBuckets:
+    def test_default_buckets_cover_max(self):
+        b = default_buckets(5000, 256)
+        assert b[0] == 256 and b[-1] >= 5000
+        assert all(x % 16 == 0 for x in b)
+
+    def test_batches_cover_dataset_exactly_once(self, tmp_path):
+        paths = make_synthetic_dataset(str(tmp_path), n_patients=17, dim=32,
+                                       min_regions=2, max_regions=40, seed=4)
+        ds = BagDataset(paths["pids"], paths["path_patch"], paths["path_label"],
+                        "abmil", read_format="npy", time_format="ratio")
+        batcher = BucketBatcher(ds, token_budget=2048, min_bucket=64)
+        seen = []
+        for batch in batcher.epoch_batches(shuffle=True,
+                                           rng=np.random.default_rng(0)):
+            keep = batch.sample_mask.astype(bool)
+            seen.extend(batch.idx[keep].tolist())
+            # padding correctness: masked-out rows are zero
+            assert np.all(batch.feats[batch.mask == 0] == 0)
+            # bags fit their bucket
+            assert batch.feats.shape[1] in batcher.buckets
+        assert sorted(seen) == list(range(len(ds)))
+
+    def test_labels_match_dataset(self, tmp_path):
+        paths = make_synthetic_dataset(str(tmp_path), n_patients=8, dim=16,
+                                       min_regions=2, max_regions=4, seed=5)
+        ds = BagDataset(paths["pids"], paths["path_patch"], paths["path_label"],
+                        "abmil", read_format="npy", time_format="origin")
+        batcher = BucketBatcher(ds, token_budget=256, min_bucket=64)
+        for batch in batcher.epoch_batches():
+            for j in range(len(batch.idx)):
+                if batch.sample_mask[j]:
+                    item = ds[int(batch.idx[j])]
+                    np.testing.assert_array_equal(batch.label[j], item["label"])
+
+
+def test_kfold_matches_sklearn():
+    from sklearn.model_selection import KFold
+    pids = [f"p{i}" for i in range(23)]
+    ours = get_kfold_pids(pids, 5, keep_pids=["KEEP"], random_state=7)
+    kf = KFold(n_splits=5, shuffle=True, random_state=7)
+    X = np.ones((23, 1))
+    want = [["KEEP"] + [pids[i] for i in idx] for _, idx in kf.split(X)]
+    assert ours == want
+
+
+class TestEarlyStopping:
+    def test_warmup_then_improve_then_stop(self):
+        es = EarlyStopping(warmup=2, patience=3, start_epoch=0)
+        es(0, 1.0)
+        assert not es.if_save_checkpoint()  # warmup
+        es(2, 0.9)
+        assert es.if_save_checkpoint()      # first tracked -> best
+        es(3, 0.95)
+        es(4, 0.95)
+        es(5, 0.95)
+        assert es.if_stop()                 # patience 3 exhausted
+
+    def test_min_delta(self):
+        es = EarlyStopping(warmup=0, patience=2)
+        es(0, 1.0)
+        es(1, 1.0 - 5e-7)  # below min-delta 1e-6 -> not an improvement
+        assert es.counter == 1
+
+
+def test_save_prediction_roundtrip(tmp_path):
+    # continuous
+    p = str(tmp_path / "pred.csv")
+    y = np.array([[0.5, 1], [0.7, 0]])
+    save_prediction(["a", "b"], y, np.array([[0.4], [0.6]]),
+                    np.zeros((2, 3, 1)), p)
+    df = pd.read_csv(p)
+    assert list(df.columns) == ["patient_id", "t", "e", "pred_t"]
+    assert (tmp_path / "pred_dist.npz").exists()
+    # discrete
+    p2 = str(tmp_path / "pred2.csv")
+    hz = np.array([[0.1, 0.2, 0.3], [0.2, 0.2, 0.2]])
+    save_prediction(["a", "b"], y, hz, None, p2)
+    df2 = pd.read_csv(p2)
+    assert "risk" in df2.columns and "surf_3" in df2.columns
