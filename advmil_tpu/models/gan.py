@@ -21,7 +21,12 @@ from ..ops.masked import masked_mean, region_mask_from_patch_mask
 
 class Generator(nn.Module):
     """backbone -> H [B, d] -> noise-MLP head -> out_scale
-    (reference model/GANSurv.py:13-49)."""
+    (reference model/GANSurv.py:13-49).
+
+    ``embed`` / ``head`` are exposed separately so test-time K-sample
+    prediction (reference's 30x loop, model/model_handler.py:624-641) runs the
+    expensive backbone ONCE and vmaps only the tiny noise head over samples.
+    """
     backbone: nn.Module
     dim_in: int
     dim_out: int
@@ -32,16 +37,25 @@ class Generator(nn.Module):
     dropout: float = 0.25
     out_scale: str = "sigmoid"
 
-    @nn.compact
+    def setup(self):
+        self.head_mlp = NoiseMLPHead(self.dim_in, self.dim_out, self.noise,
+                                     hops=self.hops, norm=self.norm,
+                                     dropout=self.dropout,
+                                     noise_dist=self.noise_dist,
+                                     dense_init=DenseInit.XAVIER, name="head")
+
+    def embed(self, x, mask, extra=None, *, deterministic: bool = True):
+        return self.backbone(x, mask, extra, deterministic=deterministic)
+
+    def head(self, H, *, zero_noise: bool = False, deterministic: bool = True):
+        h = self.head_mlp(h=H, zero_noise=zero_noise,
+                          deterministic=deterministic)
+        return apply_out_scale(h, self.out_scale)
+
     def __call__(self, x, mask, extra=None, *, zero_noise: bool = False,
                  deterministic: bool = True):
-        H = self.backbone(x, mask, extra, deterministic=deterministic)
-        h = NoiseMLPHead(self.dim_in, self.dim_out, self.noise, hops=self.hops,
-                         norm=self.norm, dropout=self.dropout,
-                         noise_dist=self.noise_dist, dense_init=DenseInit.XAVIER,
-                         name="head")(h=H, zero_noise=zero_noise,
-                                      deterministic=deterministic)
-        return apply_out_scale(h, self.out_scale)
+        H = self.embed(x, mask, extra, deterministic=deterministic)
+        return self.head(H, zero_noise=zero_noise, deterministic=deterministic)
 
 
 class EmbedXLayer(nn.Module):

@@ -213,28 +213,40 @@ def make_eval_step(gen_model, disc_model=None, *, bcb_mode: str,
                    n_samples: int = 1, zero_noise: bool = False):
     """Evaluation step (reference model/model_handler.py:598-643): one forward
     for y_hat (+ f_fake if a discriminator is given); when n_samples > 1, the
-    sampling distribution is drawn with a vmap over noise keys and reduced by
-    the lower median — replacing the reference's Python loop."""
+    sampling distribution vmaps only the noise head over sample keys (the
+    backbone embedding is computed once — noise never enters it), reduced by
+    the lower median. Replaces the reference's 30x full-forward Python loop.
+    """
+    has_embed_head = hasattr(gen_model, "embed") and hasattr(gen_model, "head")
 
     def step(params_G, params_D, batch: dict, rng):
         feats, mask = batch["feats"], batch["mask"]
         extra = _gen_extra(batch, bcb_mode)
         k0, kdist = jax.random.split(rng)
-        y_hat = gen_model.apply({"params": params_G}, feats, mask, extra,
-                                zero_noise=zero_noise, deterministic=True,
-                                rngs={"noise": k0})
+        if has_embed_head:
+            H = gen_model.apply({"params": params_G}, feats, mask, extra,
+                                deterministic=True, method=gen_model.embed)
+
+            def sample(key):
+                return gen_model.apply({"params": params_G}, H,
+                                       zero_noise=zero_noise, deterministic=True,
+                                       rngs={"noise": key},
+                                       method=gen_model.head)
+
+            y_hat = sample(k0)
+        else:
+            def sample(key):
+                return gen_model.apply({"params": params_G}, feats, mask, extra,
+                                       zero_noise=zero_noise, deterministic=True,
+                                       rngs={"noise": key})
+
+            y_hat = sample(k0)
         out = {"y_hat": y_hat}
         if disc_model is not None:
             out["f_fake"] = disc_model.apply({"params": params_D}, feats, y_hat,
                                              mask, deterministic=True).reshape(-1)
         if n_samples > 1:
             keys = jax.random.split(kdist, n_samples)
-
-            def sample(key):
-                return gen_model.apply({"params": params_G}, feats, mask, extra,
-                                       zero_noise=zero_noise, deterministic=True,
-                                       rngs={"noise": key})
-
             dist = jax.vmap(sample)(keys)               # [K, B, out]
             out["dist_y_hat"] = jnp.transpose(dist, (1, 0, 2))
             out["avg_y_hat"] = _median_lower(dist, axis=0)
