@@ -213,6 +213,33 @@ class BucketBatcher:
         for b, chunk in chunks:
             yield self._make_batch(self.buckets[b], chunk)
 
+    def prefetch(self, shuffle: bool = False,
+                 rng: np.random.Generator | None = None, depth: int = 2):
+        """Background-thread prefetching over epoch_batches: overlaps host-side
+        bag assembly/padding with device compute (the TPU-side analogue of the
+        reference's DataLoader(num_workers=8), reference
+        model/model_handler.py:158-172)."""
+        import queue
+        import threading
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self.epoch_batches(shuffle=shuffle, rng=rng):
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        th.join()
+
     def _make_batch(self, bucket_n: int, item_ids: list) -> Batch:
         bb = self.batch_size_for(bucket_n)
         n_real = len(item_ids)

@@ -301,6 +301,19 @@ class AdvHandler:
         val_loaders = {"validation": (val_set, self._batcher(val_set)),
                        "test": (test_set, self._batcher(test_set))}
 
+        # optional first phase: supervised pretraining on labeled data
+        # (present but skipped by default in the reference —
+        # skip_first_phrase=True at model/model_handler.py:723)
+        if cfg.get("ssl_first_phase", False):
+            print("[exec_semi_sl] first phase: supervised pretraining")
+            self._run_training(cfg["epochs"],
+                               (labeled_set, self._batcher(labeled_set)),
+                               "labeled_train", val_loaders=val_loaders,
+                               val_name="validation", early_stop=False,
+                               run_name="pretrain")
+        else:
+            print("[exec_semi_sl] NOTE: skipped the first supervised phase.")
+
         mode = cfg["semi_training_mode"]
         if "UD" in mode and "LD" in mode:
             run_name = "semitrain_LD_UD"
@@ -421,7 +434,7 @@ class AdvHandler:
         visible_set = (None if mode == "wlabel"
                        else self.patient_id["label_visible"])
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
-        for batch in batcher.epoch_batches(shuffle=True, rng=self.np_rng):
+        for batch in batcher.prefetch(shuffle=True, rng=self.np_rng):
             dev = self._to_device(batch, visible_set)
             self.state, metrics, collect = self.train_step(self.state, dev)
             self.logger.log({f"train_batch/{k}": float(v)
