@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (DenseInit, GatedAttention, GAPool, AvgPoolPatchEmbedding,
-                     TransformerEncoderLayer, make_dense, make_embedding_layer)
+                     TransformerEncoderLayer, make_dense, make_embedding_layer,
+                     compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
 from ..ops.segment import segment_softmax_aggregate
 from ..ops.pe import compute_pe
@@ -104,7 +105,7 @@ class GENConv(nn.Module):
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
         h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
-        h = nn.LayerNorm(name="mlp_norm")(h)
+        h = nn.LayerNorm(dtype=compute_dtype(), name="mlp_norm")(h)
         h = nn.relu(h)
         h = make_dense(self.dim, self.dense_init, in_features=2 * self.dim, name="mlp1")(h)
         return h
@@ -123,7 +124,7 @@ class DeepGCNBlock(nn.Module):
     def __call__(self, x, edge_index, edge_mask):
         h = GENConv(self.dim, dense_init=self.dense_init, name="conv")(
             x, edge_index, edge_mask, deterministic=self.det)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
         h = nn.relu(h)
         h = x + h
         h = nn.Dropout(self.dropout)(h, deterministic=self.det)

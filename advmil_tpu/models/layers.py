@@ -62,20 +62,36 @@ class DenseInit:
     PT041 = "pt041"          # 0.4.1-era uniform (Cox baselines)
 
 
+# Mixed-precision switch: bf16 activations/compute with f32 params halve the
+# HBM traffic of this bandwidth-bound workload. Read at module construction
+# (trace time); set via set_compute_dtype BEFORE building/tracing models.
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(precision: str):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.bfloat16 if precision in ("bf16", "bfloat16") else jnp.float32
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
 def make_dense(features: int, dense_init: str = DenseInit.XAVIER, use_bias: bool = True,
                name: str | None = None, in_features: int | None = None) -> nn.Dense:
+    dt = compute_dtype()
     if dense_init == DenseInit.XAVIER:
-        return nn.Dense(features, use_bias=use_bias, name=name,
+        return nn.Dense(features, use_bias=use_bias, name=name, dtype=dt,
                         kernel_init=nn.initializers.xavier_uniform(),
                         bias_init=nn.initializers.zeros)
     if dense_init == DenseInit.TORCH:
         assert in_features is not None, "torch init needs fan_in for the bias"
-        return nn.Dense(features, use_bias=use_bias, name=name,
+        return nn.Dense(features, use_bias=use_bias, name=name, dtype=dt,
                         kernel_init=torch_linear_kernel_init,
                         bias_init=torch_linear_bias_init_for(in_features))
     if dense_init == DenseInit.PT041:
         assert in_features is not None
-        return nn.Dense(features, use_bias=use_bias, name=name,
+        return nn.Dense(features, use_bias=use_bias, name=name, dtype=dt,
                         kernel_init=pt041_kernel_init,
                         bias_init=pt041_bias_init_for(in_features))
     raise ValueError(f"unknown dense init {dense_init}")
@@ -97,7 +113,7 @@ class MLPBlock(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         x = make_dense(self.dim_out, self.dense_init, in_features=self.dim_in)(x)
         if self.layer_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=compute_dtype())(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
@@ -208,7 +224,7 @@ class AvgPoolPatchEmbedding(nn.Module):
                         kernel_init=torch_linear_kernel_init_conv(self.in_dim * self.ksize ** 2),
                         bias_init=torch_linear_bias_init_for(self.in_dim * self.ksize ** 2))(h)
             h = h.reshape(B, N, self.out_dim)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(dtype=compute_dtype())(h)
         h = nn.relu(h)
         # masked average over the 16 patches of each region
         h = h.reshape(B, L, s2, self.out_dim)
@@ -248,7 +264,7 @@ class GAPoolPatchEmbedding(nn.Module):
                         kernel_init=torch_linear_kernel_init_conv(self.in_dim * self.ksize ** 2),
                         bias_init=torch_linear_bias_init_for(self.in_dim * self.ksize ** 2))(h)
             h = h.reshape(B, N, self.out_dim)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(dtype=compute_dtype())(h)
         h = nn.relu(h)
         h = h.reshape(B * L, s2, self.out_dim)
         m = mask.reshape(B * L, s2)
@@ -291,7 +307,7 @@ class NoisePerturbationLayer(nn.Module):
         data = jnp.concatenate([x, noise], axis=-1)
         h = make_dense(self.in_channels, self.dense_init,
                        in_features=2 * self.in_channels)(data)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(dtype=compute_dtype())(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return h
 
@@ -332,13 +348,13 @@ class TransformerEncoderLayer(nn.Module):
         attn = attn.reshape(B, L, D)
         attn = make_dense(D, self.dense_init, in_features=D, name="out_proj")(attn)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(dtype=compute_dtype(), name="norm1")(x)
         ff = make_dense(self.dim_feedforward, self.dense_init, in_features=D, name="linear1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = make_dense(D, self.dense_init, in_features=self.dim_feedforward, name="linear2")(ff)
         x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = nn.LayerNorm(dtype=compute_dtype(), name="norm2")(x)
         # zero out padded positions so downstream pools see clean zeros
         return x * mask[..., None].astype(x.dtype)
 
@@ -436,6 +452,7 @@ class NoiseMLPHead(nn.Module):
 
 
 def apply_out_scale(h, out_scale: str):
+    h = h.astype(jnp.float32)  # predictions/losses stay f32 under bf16 compute
     if out_scale == "sigmoid":
         return nn.sigmoid(h)
     if out_scale == "exp":

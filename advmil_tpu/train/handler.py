@@ -50,6 +50,8 @@ class AdvHandler:
         self._setup_paths()
 
         # ---- models (reference model/model_handler.py:72-91) ----
+        from ..models.layers import set_compute_dtype
+        set_compute_dtype(cfg.get("precision", "f32"))
         backbone_dims = sparse_str(cfg["bcb_dims"])
         backbone = load_backbone(self.bcb, backbone_dims,
                                  use_pallas=cfg.get("use_pallas", True),
@@ -218,7 +220,10 @@ class AdvHandler:
             visible = np.asarray(
                 [1.0 if self._pid_of(batch, j) in visible_set else 0.0
                  for j in range(len(batch.idx))], np.float32)
-        dev = {"feats": batch.feats, "mask": batch.mask, "label": batch.label,
+        feats = batch.feats
+        if self.cfg.get("precision") in ("bf16", "bfloat16"):
+            feats = jnp.asarray(batch.feats, jnp.bfloat16)
+        dev = {"feats": feats, "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask, "visible": visible}
         dev.update(batch.extra)
         if self.mesh is not None:

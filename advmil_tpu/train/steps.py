@@ -111,9 +111,11 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
                 real_w = (e == 1).astype(jnp.float32) * visible
                 fake_in = pred_detached
             f_real = disc_model.apply({"params": params_D}, feats, t_real, mask,
-                                      deterministic=False, rngs=rngs)
+                                      deterministic=False,
+                                      rngs=rngs).astype(jnp.float32)
             f_fake = disc_model.apply({"params": params_D}, feats, fake_in, mask,
-                                      deterministic=False, rngs=rngs)
+                                      deterministic=False,
+                                      rngs=rngs).astype(jnp.float32)
             loss = losses.real_fake_loss(f_real, f_fake, which=loss_netD,
                                          real_weight=real_w, fake_weight=smask)
             aux = {"f_real": f_real, "f_fake": f_fake, "real_w": real_w}
@@ -137,7 +139,8 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
                                        rngs={"noise": kG_noise, "dropout": kG_drop})
                 fake_in = pred * y_mask if is_disc_task else pred
                 f_fake = disc_model.apply({"params": params_D}, feats, fake_in,
-                                          mask, deterministic=True)
+                                          mask,
+                                          deterministic=True).astype(jnp.float32)
                 gen_loss = losses.fake_generator_loss(f_fake, weight=smask)
                 t_reg = sup_loss_fn(pred[:, 0] if not is_disc_task else pred,
                                     t, e, weight=visible)
@@ -243,8 +246,9 @@ def make_eval_step(gen_model, disc_model=None, *, bcb_mode: str,
             y_hat = sample(k0)
         out = {"y_hat": y_hat}
         if disc_model is not None:
-            out["f_fake"] = disc_model.apply({"params": params_D}, feats, y_hat,
-                                             mask, deterministic=True).reshape(-1)
+            out["f_fake"] = disc_model.apply(
+                {"params": params_D}, feats, y_hat, mask,
+                deterministic=True).astype(jnp.float32).reshape(-1)
         if n_samples > 1:
             keys = jax.random.split(kdist, n_samples)
             dist = jax.vmap(sample)(keys)               # [K, B, out]
