@@ -9,6 +9,11 @@ runs each combo with a derived save_path suffix (the canonical use is 5-fold
 CV via data_split_seed: [0,1,2,3,4]).
 """
 import argparse
+import os
+
+if os.environ.get("ADVMIL_FORCE_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from advmil_tpu.config import get_config, grid, grid_hyperparams, with_defaults
 from advmil_tpu.utils.func import print_config
