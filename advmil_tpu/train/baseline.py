@@ -256,15 +256,20 @@ class BaselineHandler:
     def _train_each_epoch(self, loader):
         ds, batcher = loader
         cltor = {"y": [], "y_hat": [], "idx": []}
-        for batch in batcher.epoch_batches(shuffle=True, rng=self.np_rng):
+        pending_metrics, pending_preds = [], []
+        for batch in batcher.prefetch(shuffle=True, rng=self.np_rng):
             dev = self._to_device(batch)
             self.state, metrics, collect = self.train_step(self.state, dev)
-            self.logger.log({f"train_batch/net/{k}": float(v)
-                             for k, v in metrics.items()})
+            pending_metrics.append(metrics)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
-            cltor["y_hat"].append(np.asarray(collect["y_hat"])[keep])
+            pending_preds.append((collect["y_hat"], keep))
             cltor["idx"].append(batch.idx[keep])
+        for metrics in jax.device_get(pending_metrics):
+            self.logger.log({f"train_batch/net/{k}": float(v)
+                             for k, v in metrics.items()})
+        cltor["y_hat"] = [np.asarray(jax.device_get(v))[keep]
+                          for v, keep in pending_preds]
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
     # -- evaluation --
@@ -284,12 +289,15 @@ class BaselineHandler:
         if n_samples > 1:
             cltor["avg_y_hat"] = []
             cltor["dist_y_hat"] = []
-        for batch in batcher.epoch_batches(shuffle=False):
+        pending = []
+        for batch in batcher.prefetch(shuffle=False):
             rng, sub = jax.random.split(rng)
             out = step(params, None, self._to_device(batch), sub)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
             cltor["idx"].append(batch.idx[keep])
+            pending.append((out, keep))
+        for out, keep in jax.device_get(pending):
             cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
             if n_samples > 1:
                 cltor["avg_y_hat"].append(np.asarray(out["avg_y_hat"])[keep])

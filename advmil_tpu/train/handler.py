@@ -439,16 +439,23 @@ class AdvHandler:
         visible_set = (None if mode == "wlabel"
                        else self.patient_id["label_visible"])
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
+        pending_metrics = []  # keep device arrays; sync ONCE per epoch
         for batch in batcher.prefetch(shuffle=True, rng=self.np_rng):
             dev = self._to_device(batch, visible_set)
             self.state, metrics, collect = self.train_step(self.state, dev)
-            self.logger.log({f"train_batch/{k}": float(v)
-                             for k, v in metrics.items()})
+            pending_metrics.append(metrics)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
-            cltor["y_hat"].append(np.asarray(collect["y_hat"])[keep])
-            cltor["f_fake"].append(np.asarray(collect["f_fake"])[keep])
+            cltor["y_hat"].append((collect["y_hat"], keep))
+            cltor["f_fake"].append((collect["f_fake"], keep))
             cltor["idx"].append(batch.idx[keep])
+        # single host sync for the whole epoch's collected outputs + metrics
+        for metrics in jax.device_get(pending_metrics):
+            self.logger.log({f"train_batch/{k}": float(v)
+                             for k, v in metrics.items()})
+        for key in ("y_hat", "f_fake"):
+            cltor[key] = [np.asarray(jax.device_get(v))[keep]
+                          for v, keep in cltor[key]]
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
     # ------------------------------------------------------------------
@@ -474,13 +481,16 @@ class AdvHandler:
         if n_samples > 1:
             cltor["avg_y_hat"] = []
             cltor["dist_y_hat"] = []
-        for batch in batcher.epoch_batches(shuffle=False):
+        pending = []
+        for batch in batcher.prefetch(shuffle=False):
             rng, sub = jax.random.split(rng)
             dev = self._to_device(batch)
             out = step(params_G, params_D, dev, sub)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
             cltor["idx"].append(batch.idx[keep])
+            pending.append((out, keep))
+        for out, keep in jax.device_get(pending):  # one sync for the pass
             cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
             cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
             if n_samples > 1:
