@@ -23,6 +23,7 @@ TPU_DEFAULTS = {
     "batch_max_size": 64,          # max bags per batch
     "bucket_min": 256,             # smallest bag bucket (multiple of 16)
     "dp_devices": 1,               # data-parallel device count
+    "inst_devices": 1,             # instance(sequence)-parallel device count
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
     "num_graph_layers": 1,

@@ -150,13 +150,22 @@ class AdvHandler:
                                  "loss_fake_netD", "loss_fake_netG", "avg_fake"]
             self.ret_metrics = ["c_index", "loss_mle_org"]
 
-        # ---- data parallelism (SURVEY.md §2.10: DP is new capability) ----
+        # ---- data / instance parallelism (SURVEY.md §2.10, §5) ----
         self.mesh = None
-        if int(cfg.get("dp_devices", 1) or 1) > 1:
-            from ..parallel.mesh import make_mesh, replicate_state
-            self.mesh = make_mesh(int(cfg["dp_devices"]))
+        self.mesh_2d = False
+        dp = int(cfg.get("dp_devices", 1) or 1)
+        ip = int(cfg.get("inst_devices", 1) or 1)
+        if ip > 1:
+            from ..parallel.mesh import make_mesh_2d, replicate_state
+            self.mesh = make_mesh_2d(dp, ip)
+            self.mesh_2d = True
             self.state = replicate_state(self.state, self.mesh)
-            print(f"[parallel] data-parallel over {cfg['dp_devices']} devices")
+            print(f"[parallel] data x instance parallel over {dp}x{ip} devices")
+        elif dp > 1:
+            from ..parallel.mesh import make_mesh, replicate_state
+            self.mesh = make_mesh(dp)
+            self.state = replicate_state(self.state, self.mesh)
+            print(f"[parallel] data-parallel over {dp} devices")
 
         self.patient_id = {}
         self.np_rng = np.random.default_rng(cfg["seed"])
@@ -227,6 +236,9 @@ class AdvHandler:
                "sample_mask": batch.sample_mask, "visible": visible}
         dev.update(batch.extra)
         if self.mesh is not None:
+            if self.mesh_2d:
+                from ..parallel.mesh import shard_batch_2d
+                return shard_batch_2d(dev, self.mesh)
             from ..parallel.mesh import shard_batch
             return shard_batch(dev, self.mesh)
         return {k: jnp.asarray(v) for k, v in dev.items()}
