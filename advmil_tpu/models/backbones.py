@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import (DenseInit, GatedAttention, GAPool, AvgPoolPatchEmbedding,
+from .layers import (DenseInit, GatedAttention, GAPool,
                      TransformerEncoderLayer, make_dense, make_embedding_layer,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask

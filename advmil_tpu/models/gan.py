@@ -13,7 +13,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import (DenseInit, GAPool, AvgPoolPatchEmbedding, BottleneckMLP,
+from .layers import (DenseInit, GAPool, BottleneckMLP,
                      MLPBlock, NoiseMLPHead, apply_out_scale, make_dense,
                      make_embedding_layer)
 from ..ops.masked import masked_mean, region_mask_from_patch_mask

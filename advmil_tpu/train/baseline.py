@@ -8,7 +8,6 @@ model/baseline_handler.py:84-87).
 """
 from __future__ import annotations
 
-import functools
 import os
 import os.path as osp
 
@@ -17,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .. import losses
 from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
@@ -55,6 +53,8 @@ class BaselineHandler:
         else:
             out_scale, cfg["time_format"] = "none", "origin"
 
+        from ..models.layers import set_compute_dtype
+        set_compute_dtype(cfg.get("precision", "f32"))
         dense_init = (DenseInit.XAVIER if out_scale == "sigmoid"
                       else DenseInit.PT041)
         backbone_dims = sparse_str(cfg["bcb_dims"])
@@ -164,7 +164,10 @@ class BaselineHandler:
                              min_bucket=self.cfg["bucket_min"])
 
     def _to_device(self, batch):
-        dev = {"feats": jnp.asarray(batch.feats), "mask": jnp.asarray(batch.mask),
+        fdt = (jnp.bfloat16 if self.cfg.get("precision") in ("bf16", "bfloat16")
+               else jnp.float32)
+        dev = {"feats": jnp.asarray(batch.feats, fdt),
+               "mask": jnp.asarray(batch.mask),
                "label": jnp.asarray(batch.label),
                "sample_mask": jnp.asarray(batch.sample_mask),
                "visible": jnp.asarray(batch.sample_mask)}
