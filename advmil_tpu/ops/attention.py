@@ -32,7 +32,8 @@ def pallas_available() -> bool:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, nk: int):
+                  *, nk: int, blk_k: int):
+    b = pl.program_id(0)
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -44,7 +45,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr,
     q = q_ref[:]                      # [BLK_Q, D] (pre-scaled)
     k = k_ref[:]                      # [BLK_K, D]
     v = v_ref[:]                      # [BLK_K, D]
-    msk = mask_ref[0, :]              # [BLK_K]
+    # mask_ref holds the full [BH, Lp] key mask in VMEM (tiny); slice the
+    # current batch-head row / key block (a blocked (1, BLK_K) spec violates
+    # the TPU (8, 128) tile minimum)
+    msk = mask_ref[b, pl.ds(j * blk_k, blk_k)]   # [BLK_K]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -104,7 +108,7 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 256, blk_k: int = 256,
 
     grid = (BH, nq, nk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, nk=nk),
+        functools.partial(_flash_kernel, nk=nk, blk_k=blk_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
@@ -113,8 +117,7 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 256, blk_k: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * (Lp // blk_k) + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_k), lambda b, i, j: (b, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full [BH, Lp] key mask
         ],
         out_specs=pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
                                memory_space=pltpu.VMEM),
