@@ -81,13 +81,19 @@ def grid_hyperparams(kwargs: dict) -> list:
 
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
-    assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"]
-    assert cfg["loss_recon_norm"] in ["l1", "l2"]
-    assert cfg["gen_noi_noise_dist"] in ["uniform", "gaussian"]
-    assert cfg["gen_noi_hops"] + 1 == len(str(cfg["gen_noi_noise"]).split("-"))
-    assert cfg["disc_netx_in_dim"] == int(cfg["bcb_dims"].split("-")[0])
-    assert cfg["disc_nety_in_dim"] == int(str(cfg["gen_dims"]).split("-")[-1])
-    assert cfg["disc_netx_out_dim"] == int(cfg["disc_nety_hid_dims"].split("-")[-1])
+    assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"], \
+        f"loss_netD must be bce/hinge/wasserstein, got {cfg['loss_netD']}"
+    assert cfg["loss_recon_norm"] in ["l1", "l2"], "loss_recon_norm must be l1/l2"
+    assert cfg["gen_noi_noise_dist"] in ["uniform", "gaussian"], \
+        "gen_noi_noise_dist must be uniform/gaussian"
+    assert cfg["gen_noi_hops"] + 1 == len(str(cfg["gen_noi_noise"]).split("-")), \
+        "gen_noi_noise must have gen_noi_hops+1 dash-separated flags"
+    assert cfg["disc_netx_in_dim"] == int(cfg["bcb_dims"].split("-")[0]), \
+        "disc_netx_in_dim must equal the first entry of bcb_dims"
+    assert cfg["disc_nety_in_dim"] == int(str(cfg["gen_dims"]).split("-")[-1]), \
+        "disc_nety_in_dim must equal the last entry of gen_dims"
+    assert cfg["disc_netx_out_dim"] == int(cfg["disc_nety_hid_dims"].split("-")[-1]), \
+        "disc_netx_out_dim must equal the last entry of disc_nety_hid_dims"
     assert cfg.get("ssl_resume_ckpt", "best") in ["last", "best"]
     noise_existing = sum(sparse_str(cfg["gen_noi_noise"])) > 0
     if noise_existing:
@@ -103,9 +109,11 @@ def check_configs(cfg: dict):
         assert cfg["time_format"] in ["origin", "ratio"]
         assert str(cfg["gen_dims"])[-2:] == "-1"
         assert (cfg["gen_out_scale"] == "sigmoid" and cfg["time_format"] == "ratio") or \
-               (cfg["gen_out_scale"] != "sigmoid" and cfg["time_format"] == "origin")
+               (cfg["gen_out_scale"] != "sigmoid" and cfg["time_format"] == "origin"), \
+            "cont_gansurv needs sigmoid<->ratio or exp/none<->origin pairing"
         assert (cfg["time_format"] == "ratio" and cfg["loss_recon_gamma"] == 0) or \
-               (cfg["time_format"] == "origin" and cfg["loss_recon_gamma"] >= 1)
+               (cfg["time_format"] == "origin" and cfg["loss_recon_gamma"] >= 1), \
+            "loss_recon_gamma must be 0 for ratio time, >=1 for origin time"
     elif cfg["task"] == "disc_gansurv":
         assert cfg["time_format"] == "quantile"
         assert cfg["gen_out_scale"] == "sigmoid"

@@ -91,24 +91,29 @@ class ContSurvEvaluator(_BaseEvaluator):
     def _avg_fake(self):
         return float(np.mean(self.f_fake))
 
-    # error decompositions scaled by end_time (reference eval/evaluator.py:100-122)
+    # error decompositions scaled by end_time (reference eval/evaluator.py:100-122);
+    # empty subsets give nan (reference behavior) without numpy warnings
+    @staticmethod
+    def _safe_mean(x):
+        return float(np.mean(x)) if x.size else float("nan")
+
     def _event_t_rae(self):
         idx = self.e == 1
-        return float(np.mean(np.abs(self.t[idx] - self.y_hat[idx]) / self.end_time))
+        return self._safe_mean(np.abs(self.t[idx] - self.y_hat[idx]) / self.end_time)
 
     def _nonevent_t_rae(self):
         idx = self.e == 0
         diff = self.t[idx] - self.y_hat[idx]
-        return float(np.mean(np.maximum(diff, 0.0) / self.end_time))
+        return self._safe_mean(np.maximum(diff, 0.0) / self.end_time)
 
     def _event_t_nre(self):
         idx = self.e == 1
-        return float(np.mean((self.y_hat[idx] - self.t[idx]) / self.end_time))
+        return self._safe_mean((self.y_hat[idx] - self.t[idx]) / self.end_time)
 
     def _nonevent_t_nre(self):
         idx = self.e == 0
         diff = self.y_hat[idx] - self.t[idx]
-        return float(np.mean(-np.maximum(-diff, 0.0) / self.end_time))
+        return self._safe_mean(-np.maximum(-diff, 0.0) / self.end_time)
 
 
 class DiscSurvEvaluator(_BaseEvaluator):
