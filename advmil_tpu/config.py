@@ -27,6 +27,7 @@ TPU_DEFAULTS = {
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
     "num_graph_layers": 1,
+    "graph_edge_agg": "spatial",
     "cache_bags": True,
     "accum_steps": 1,
     "profile_dir": None,

@@ -48,7 +48,8 @@ class BagDataset:
                  mode: str, read_format: str = "pt", time_format: str = "ratio",
                  time_bins: int = 4, ratio_sampling=None, ratio_mask=None,
                  cluster_path=None, coord_path=None, graph_path=None,
-                 rng: np.random.Generator | None = None, cache: bool = True):
+                 rng: np.random.Generator | None = None, cache: bool = True,
+                 edge_agg: str = "spatial"):
         assert mode in ["patch", "cluster", "graph", "abmil"]
         self.mode = mode
         if ratio_sampling is not None:
@@ -72,6 +73,10 @@ class BagDataset:
         self.cluster_path = cluster_path
         self.coord_path = coord_path
         self.graph_path = graph_path
+        # which kNN edge set PatchGCN aggregates over: 'spatial' (coords) or
+        # 'latent' (feature space) (reference model/backbone.py:148-153)
+        assert edge_agg in ("spatial", "latent")
+        self.edge_agg = edge_agg
         self.rng = rng if rng is not None else np.random.default_rng()
         self._cache: dict | None = {} if cache else None
         print(f"[dataset] BagDataset({mode}): {len(self.pids)} patients")
@@ -114,13 +119,20 @@ class BagDataset:
         elif self.mode == "graph":
             edges = []
             offset = 0
+            key = "edge_index" if self.edge_agg == "spatial" else "edge_latent"
             for sid in self.pid2sid[pid]:
                 g = np.load(osp.join(self.graph_path, f"{sid}.npz"))
                 # stored as [2, E] (dst, src) per slide; offset per slide
-                ei = g["edge_index"].astype(np.int64) + offset
+                ei = g[key].astype(np.int64) + offset
                 edges.append(ei)
                 offset += int(g["num_nodes"])
-            item["edge_index"] = np.concatenate(edges, axis=1)  # [2, E_total]
+            ei = np.concatenate(edges, axis=1)  # [2, E_total]
+            # dst-sorted edges let the segment reductions lower as sorted
+            # (per-slide output is already sorted; concat keeps it sorted
+            # since offsets increase, but enforce for foreign graph files)
+            if not np.all(np.diff(ei[0]) >= 0):
+                ei = ei[:, np.argsort(ei[0], kind="stable")]
+            item["edge_index"] = ei
         elif self.mode == "patch" and self.coord_path:
             coords = [read_patch_coord(osp.join(self.coord_path, f"{sid}.h5"))
                       for sid in self.pid2sid[pid]]
@@ -141,7 +153,7 @@ def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
         time_bins=cfg["time_bins"], ratio_sampling=ratio_sampling,
         ratio_mask=ratio_mask, cluster_path=cfg.get("path_cluster"),
         coord_path=cfg.get("path_coordx5"), graph_path=cfg.get("path_graph"),
-        rng=kws.get("rng"))
+        rng=kws.get("rng"), edge_agg=cfg.get("graph_edge_agg", "spatial"))
 
 
 @dataclass

@@ -65,7 +65,7 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
                         srcs.append(b)
             ei = np.stack([np.asarray(dsts), np.asarray(srcs)]).astype(np.int64)
             np.savez(osp.join(graph_dir, f"{sid}.npz"), edge_index=ei,
-                     num_nodes=np.asarray(n))
+                     edge_latent=ei, num_nodes=np.asarray(n))
 
     table_path = osp.join(root, "labels.csv")
     pd.DataFrame(rows).to_csv(table_path, index=False)

@@ -22,17 +22,22 @@ def segment_softmax_aggregate(messages: jnp.ndarray, dst: jnp.ndarray,
     aggregate to zeros.
     """
     E, C = messages.shape
-    # route masked edges to a trash segment
+    # route masked edges to a trash segment; edge lists are dst-sorted by
+    # construction (tools/build_graphs.py emits np.repeat(range(n)) dst order
+    # and the loader preserves/sorts it), which lets XLA lower the scatters as
+    # sorted-segment reductions instead of generic scatter-adds
     seg = jnp.where(edge_mask.astype(bool), dst, num_nodes).astype(jnp.int32)
     scaled = messages * t
     seg_max = jax.ops.segment_max(
         jnp.where(edge_mask[:, None].astype(bool), scaled, -jnp.inf),
-        seg, num_segments=num_nodes + 1)
+        seg, num_segments=num_nodes + 1, indices_are_sorted=True)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     ex = jnp.exp(scaled - seg_max[seg]) * edge_mask[:, None].astype(messages.dtype)
-    denom = jax.ops.segment_sum(ex, seg, num_segments=num_nodes + 1)
+    denom = jax.ops.segment_sum(ex, seg, num_segments=num_nodes + 1,
+                                indices_are_sorted=True)
     alpha = ex / jnp.maximum(denom[seg], 1e-16)
-    out = jax.ops.segment_sum(alpha * messages, seg, num_segments=num_nodes + 1)
+    out = jax.ops.segment_sum(alpha * messages, seg, num_segments=num_nodes + 1,
+                              indices_are_sorted=True)
     return out[:num_nodes]
 
 
