@@ -20,9 +20,14 @@ sys.path.insert(0, REF)
 
 import importlib
 
-ref_loss = importlib.import_module("loss.utils")
-ref_cindex = importlib.import_module("eval.cindex")
-ref_func = importlib.import_module("utils.func")
+try:
+    ref_loss = importlib.import_module("loss.utils")
+    ref_cindex = importlib.import_module("eval.cindex")
+    ref_func = importlib.import_module("utils.func")
+finally:
+    # don't leave the reference tree shadowing this repo's top-level modules
+    # (its main.py would hijack `import main` in later tests)
+    sys.path.remove(REF)
 
 import jax.numpy as jnp
 
