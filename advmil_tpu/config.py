@@ -31,6 +31,9 @@ TPU_DEFAULTS = {
     "cache_bags": True,
     "accum_steps": 1,
     "profile_dir": None,
+    # persistent XLA compilation cache: bucket-shape compiles are the dominant
+    # fixed cost of a run; later folds of a multi_run sweep hit this cache
+    "xla_cache_dir": "~/.cache/advmil-tpu/xla",
     "es_min_epochs": 0,
     "log_plot": False,
     "save_prediction": True,
@@ -45,6 +48,24 @@ TPU_DEFAULTS = {
     "wandb_dir": None,
     "wandb_prj": None,
 }
+
+
+def enable_compilation_cache(cfg: dict):
+    """Point XLA's persistent compilation cache at cfg['xla_cache_dir'] so
+    repeated bucket-shape compiles (across epochs, folds, and runs) are
+    disk-cache hits instead of minute-scale recompiles."""
+    import os
+    path = cfg.get("xla_cache_dir")
+    if not path:
+        return
+    try:
+        import jax
+        path = os.path.expanduser(path)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as exc:  # older jax / read-only fs: not fatal
+        print(f"[config] compilation cache disabled ({exc})")
 
 
 def get_config(config_path: str) -> dict:

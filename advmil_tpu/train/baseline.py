@@ -39,6 +39,8 @@ class BaselineHandler:
         assert cfg["bcb_mode"] in ["patch", "cluster", "graph", "abmil"]
         seed_everything(cfg["seed"])
         self.cfg = cfg
+        from ..config import enable_compilation_cache
+        enable_compilation_cache(cfg)
         self.task = cfg["task"]
         self.bcb = cfg["bcb_mode"]
         self.nbins = cfg.get("time_bins", 4)

@@ -43,6 +43,8 @@ class AdvHandler:
     def __init__(self, cfg: dict):
         check_configs(cfg)
         seed_everything(cfg["seed"])
+        from ..config import enable_compilation_cache
+        enable_compilation_cache(cfg)
         self.cfg = cfg
         self.task = cfg["task"]
         self.bcb = cfg["bcb_mode"]
