@@ -60,7 +60,10 @@ def enable_compilation_cache(cfg: dict):
         return
     try:
         import jax
-        path = os.path.expanduser(path)
+        # scope by backend: an axon/TPU session also emits host-side CPU AOT
+        # helpers compiled on the remote machine, which must never be loaded
+        # by a plain CPU run on this host (mismatched machine features)
+        path = os.path.join(os.path.expanduser(path), jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -37,6 +37,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import optax
+    from advmil_tpu.config import enable_compilation_cache
+    enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
     from advmil_tpu.models.layers import set_compute_dtype
     set_compute_dtype("bf16")
     from advmil_tpu.models.backbones import load_backbone
