@@ -95,18 +95,29 @@ class BaselineHandler:
             self.sup_loss_fn = make_supervised_loss(self.task, cfg)
         self.l1_coef = cfg.get("loss_regl1_coef", 0.0) or 0.0
 
-        def make_tx(learning_rate):
-            return create_optimizer(cfg["opt_net"], learning_rate,
-                                    weight_decay=cfg["opt_net_weight_decay"],
-                                    params=self.params)
-
         self.base_lr = cfg["opt_net_lr"]
-        self.tx = optax.inject_hyperparams(make_tx)(learning_rate=self.base_lr)
+        self.second_order = cfg["opt_net"].lower() == "adahessian"
+        if self.second_order:
+            from .optim import adahessian
+            import jax.tree_util as jtu
+            mask = jtu.tree_map(lambda p: p.ndim > 1, self.params)
+            self.tx = adahessian(self.base_lr,
+                                 weight_decay=cfg["opt_net_weight_decay"] or 0.0,
+                                 params_mask=mask)
+        else:
+            def make_tx(learning_rate):
+                return create_optimizer(cfg["opt_net"], learning_rate,
+                                        weight_decay=cfg["opt_net_weight_decay"],
+                                        params=self.params)
+
+            self.tx = optax.inject_hyperparams(make_tx)(
+                learning_rate=self.base_lr)
         self.state = BaseTrainState(params=self.params,
                                     opt=self.tx.init(self.params), rng=kstep)
         self.train_step = make_base_train_step(
             self.model, self.tx, task=self.task, bcb_mode=self.bcb,
-            l1_coef=self.l1_coef, sup_loss_fn=self.sup_loss_fn, donate=False)
+            l1_coef=self.l1_coef, sup_loss_fn=self.sup_loss_fn, donate=False,
+            second_order=self.second_order)
         self._eval_steps = {}
 
         end_time = (read_maxt_from_table(cfg["path_label"])

@@ -246,8 +246,9 @@ def _build(opt_lower: str, learning_rate, weight_decay: float, momentum,
                                               momentum=mom))
     if opt_lower == "adahessian":
         raise NotImplementedError(
-            "adahessian needs Hessian-diagonal estimates; use "
-            "advmil_tpu.train.optim.adahessian_grads with any optimizer")
+            "adahessian needs Hessian-diagonal estimates: build it with "
+            "advmil_tpu.train.optim.adahessian(...) and a second_order step "
+            "(BaselineHandler does this automatically for opt_net: adahessian)")
     raise ValueError(f"Invalid optimizer {opt_lower}")
 
 
@@ -270,19 +271,68 @@ def create_optimizer(opt: str, learning_rate: float, weight_decay: float = 0.0,
     return tx
 
 
-def adahessian_grads(loss_fn, params, rng, *args):
+def adahessian_grads(loss_fn, params, rng, *args, has_aux: bool = False):
     """Hutchinson-estimated Hessian-diagonal preconditioned gradients: the
     JAX equivalent of the reference's create_graph backward (adahessian.py).
-    Returns (value, grads, hessian_diag_estimate)."""
-    value, grads = jax.value_and_grad(loss_fn)(params, *args)
+    Returns (value, grads, hessian_diag_estimate) — value is (loss, aux) when
+    ``has_aux``."""
+    value, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(params, *args)
     leaves, treedef = jax.tree_util.tree_flatten(params)
     keys = jax.random.split(rng, len(leaves))
     zs = [jax.random.rademacher(k, l.shape, dtype=l.dtype)
           for k, l in zip(keys, leaves)]
     z = jax.tree_util.tree_unflatten(treedef, zs)
-    _, hvp = jax.jvp(lambda p: jax.grad(loss_fn)(p, *args), (params,), (z,))
+    if has_aux:
+        grad_fn = lambda p: jax.grad(loss_fn, has_aux=True)(p, *args)[0]
+    else:
+        grad_fn = lambda p: jax.grad(loss_fn)(p, *args)
+    _, hvp = jax.jvp(grad_fn, (params,), (z,))
     hdiag = jax.tree_util.tree_map(lambda hz, zz: hz * zz, hvp, z)
     return value, grads, hdiag
+
+
+class AdaHessianState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def adahessian(learning_rate: float, b1=0.9, b2=0.999, eps=1e-8,
+               weight_decay=0.0, hessian_power=1.0,
+               params_mask=None) -> optax.GradientTransformationExtraArgs:
+    """AdaHessian (Yao et al. 2020; reference optim/adahessian.py): Adam with
+    the second moment computed on the Hutchinson Hessian-diagonal estimate
+    instead of grad^2. Requires the step to pass ``hessian_diag=...`` (from
+    :func:`adahessian_grads`) as an extra update argument."""
+
+    def init(params):
+        return AdaHessianState(jnp.zeros([], jnp.int32),
+                               jax.tree_util.tree_map(jnp.zeros_like, params),
+                               jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None, *, hessian_diag):
+        if weight_decay and params is not None:
+            if params_mask is not None:
+                updates = jax.tree_util.tree_map(
+                    lambda g, p, m: g + weight_decay * p if m else g,
+                    updates, params, params_mask)
+            else:
+                updates = jax.tree_util.tree_map(
+                    lambda g, p: g + weight_decay * p, updates, params)
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, updates)
+        nu = jax.tree_util.tree_map(lambda v, h: b2 * v + (1 - b2) * h * h,
+                                    state.nu, hessian_diag)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: -learning_rate * (m / bc1)
+            / (jnp.power(jnp.maximum(v / bc2, 0.0), hessian_power / 2.0) + eps),
+            mu, nu)
+        return new_updates, AdaHessianState(count, mu, nu)
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 # ---------------------------------------------------------------------------

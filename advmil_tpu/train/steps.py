@@ -173,13 +173,18 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
 
 
 def make_base_train_step(model, tx, *, task: str, bcb_mode: str, l1_coef: float,
-                         sup_loss_fn, donate: bool = True):
+                         sup_loss_fn, donate: bool = True,
+                         second_order: bool = False):
     """Baseline (non-adversarial) step (reference
-    model/baseline_handler.py:328-368): one supervised update per batch."""
+    model/baseline_handler.py:328-368): one supervised update per batch.
+
+    ``second_order=True`` feeds a Hutchinson Hessian-diagonal estimate to the
+    optimizer as the extra ``hessian_diag`` arg (AdaHessian; the JAX analogue
+    of the reference's create_graph backward, optim/adahessian.py)."""
     is_disc_task = task == "surv_nll"
 
     def step(state: BaseTrainState, batch: dict):
-        rng, k_drop = jax.random.split(state.rng)
+        rng, k_drop, k_hvp = jax.random.split(state.rng, 3)
         feats, mask = batch["feats"], batch["mask"]
         t = batch["label"][:, 0]
         e = batch["label"][:, 1]
@@ -194,8 +199,16 @@ def make_base_train_step(model, tx, *, task: str, bcb_mode: str, l1_coef: float,
             total = loss + losses.loss_reg_l1(params, l1_coef)
             return total, {"net_loss": loss, "pred": pred}
 
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt = tx.update(grads, state.opt, state.params)
+        if second_order:
+            from .optim import adahessian_grads
+            (total, aux), grads, hdiag = adahessian_grads(
+                loss_fn, state.params, k_hvp, has_aux=True)
+            updates, opt = tx.update(grads, state.opt, state.params,
+                                     hessian_diag=hdiag)
+        else:
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt = tx.update(grads, state.opt, state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
         metrics = {"loss_supervision": aux["net_loss"], "loss_total": total}
         collect = {"y_hat": aux["pred"]}

@@ -137,3 +137,37 @@ def test_adahessian_grads_quadratic():
     val, grads, hdiag = adahessian_grads(loss, params, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(grads["w"]), np.asarray(d), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(hdiag["w"]), np.asarray(d), rtol=1e-5)
+
+
+def test_adahessian_optimizer_step():
+    """Full AdaHessian transform on a quadratic: preconditioning by the exact
+    Hessian diag makes one step move each coordinate by ~lr (Newton-like)."""
+    from advmil_tpu.train.optim import adahessian, adahessian_grads
+    d = jnp.asarray([1.0, 4.0, 9.0])
+
+    def loss(params):
+        return 0.5 * jnp.sum(d * params["w"] ** 2)
+
+    params = {"w": jnp.asarray([1.0, 1.0, 1.0])}
+    tx = adahessian(0.1, b1=0.0, b2=0.0)
+    state = tx.init(params)
+    _, grads, hdiag = adahessian_grads(loss, params, jax.random.PRNGKey(0))
+    updates, state = tx.update(grads, state, params, hessian_diag=hdiag)
+    # m/sqrt(h^2) = d*w / d = w -> update = -lr * w = -0.1 everywhere
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.1, rtol=1e-5)
+
+
+def test_baseline_handler_adahessian(tmp_path):
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    from advmil_tpu.train.baseline import BaselineHandler
+    from tests.test_train_smoke import base_cfg
+    from tests.test_handlers_modes import baseline_cfg
+    paths = make_synthetic_dataset(str(tmp_path / "d"), n_patients=24, dim=64,
+                                   min_regions=2, max_regions=4, seed=6,
+                                   event_frac=0.9)
+    cfg = baseline_cfg(paths, tmp_path, opt_net="adahessian",
+                       bcb_dims="64-16-16", pdh_dims="16-1",
+                       disc_netx_in_dim=64, disc_netx_out_dim=8,
+                       disc_nety_hid_dims="4-8", epochs=1)
+    metrics = BaselineHandler(cfg).exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
