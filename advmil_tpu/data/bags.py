@@ -184,6 +184,7 @@ class BucketBatcher:
         self.min_bucket = min_bucket
         self.edges_per_node = edges_per_node
         self.batch_multiple = batch_multiple  # e.g. the DP device count
+        self.prefetch_depth = 2  # set from cfg num_workers by the handlers
         sizes = dataset.bag_sizes()
         self.buckets = default_buckets(int(sizes.max()), min_bucket)
         self.item_bucket = np.searchsorted(self.buckets, sizes)
@@ -226,13 +227,15 @@ class BucketBatcher:
             yield self._make_batch(self.buckets[b], chunk)
 
     def prefetch(self, shuffle: bool = False,
-                 rng: np.random.Generator | None = None, depth: int = 2):
+                 rng: np.random.Generator | None = None, depth: int | None = None):
         """Background-thread prefetching over epoch_batches: overlaps host-side
         bag assembly/padding with device compute (the TPU-side analogue of the
         reference's DataLoader(num_workers=8), reference
         model/model_handler.py:158-172)."""
         import queue
         import threading
+        if depth is None:
+            depth = max(2, self.prefetch_depth)
         q: queue.Queue = queue.Queue(maxsize=depth)
         sentinel = object()
 

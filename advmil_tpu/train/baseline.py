@@ -172,9 +172,11 @@ class BaselineHandler:
         return osp.join(base, f"{run_name}_model-{ckpt_type}.ckpt")
 
     def _batcher(self, ds):
-        return BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
-                             max_batch=self.cfg["batch_max_size"],
-                             min_bucket=self.cfg["bucket_min"])
+        b = BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
+                          max_batch=self.cfg["batch_max_size"],
+                          min_bucket=self.cfg["bucket_min"])
+        b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
+        return b
 
     def _to_device(self, batch):
         fdt = (jnp.bfloat16 if self.cfg.get("precision") in ("bf16", "bfloat16")

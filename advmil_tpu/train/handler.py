@@ -218,11 +218,13 @@ class AdvHandler:
         return {"feats": feats, "mask": mask, "extra": extra}
 
     def _batcher(self, dataset) -> BucketBatcher:
-        return BucketBatcher(dataset,
-                             token_budget=self.cfg["batch_token_budget"],
-                             max_batch=self.cfg["batch_max_size"],
-                             min_bucket=self.cfg["bucket_min"],
-                             batch_multiple=int(self.cfg.get("dp_devices", 1) or 1))
+        b = BucketBatcher(dataset,
+                          token_budget=self.cfg["batch_token_budget"],
+                          max_batch=self.cfg["batch_max_size"],
+                          min_bucket=self.cfg["bucket_min"],
+                          batch_multiple=int(self.cfg.get("dp_devices", 1) or 1))
+        b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
+        return b
 
     def _to_device(self, batch, visible_set=None) -> dict:
         if visible_set is None:
@@ -490,7 +492,11 @@ class AdvHandler:
         params_G = self.state.params_G if params_G is None else params_G
         params_D = self.state.params_D if params_D is None else params_D
         step = self._get_eval_step(n_samples, zero_noise)
-        rng = jax.random.PRNGKey(self.cfg["seed"] + 777)
+        # fresh (but seed-reproducible) noise draws per evaluation pass, like
+        # the reference's advancing global RNG
+        self._eval_calls = getattr(self, "_eval_calls", 0) + 1
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg["seed"] + 777),
+                                 self._eval_calls)
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
         if n_samples > 1:
             cltor["avg_y_hat"] = []
