@@ -84,8 +84,27 @@ class BagDataset:
     def __len__(self):
         return len(self.pids)
 
+    def bag_size(self, index: int) -> int:
+        """Patch count of a bag WITHOUT loading the features (header peek for
+        .npy/.h5); lets the bucketer initialize instantly and the prefetch
+        thread overlap real loading with device compute."""
+        pid = self.pids[index]
+        total = 0
+        for sid in self.pid2sid[pid]:
+            path = osp.join(self.read_path, f"{sid}.{self.read_format}")
+            if self.read_format == "npy":
+                total += int(np.load(path, mmap_mode="r").shape[0])
+            elif self.read_format == "h5":
+                import h5py
+                with h5py.File(path, "r") as hf:
+                    total += int(hf["features"].shape[0])
+            else:  # .pt etc: no cheap header peek
+                total += int(self._load_feats(pid).shape[0])
+                return total
+        return total
+
     def bag_sizes(self) -> np.ndarray:
-        return np.array([self[i]["feats"].shape[0] for i in range(len(self))])
+        return np.array([self.bag_size(i) for i in range(len(self))])
 
     def _load_feats(self, pid: str) -> np.ndarray:
         feats = [read_patch_feature(
