@@ -158,3 +158,28 @@ def test_save_prediction_roundtrip(tmp_path):
     save_prediction(["a", "b"], y, hz, None, p2)
     df2 = pd.read_csv(p2)
     assert "risk" in df2.columns and "surf_3" in df2.columns
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from advmil_tpu.train import checkpoint as ck
+    params = {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3),
+                        "bias": np.zeros(3, np.float32)}}
+    opt = {"count": np.asarray(7)}
+    path = str(tmp_path / "m.ckpt")
+    ck.save_checkpoint(path, 3, params, opt)
+    epoch, p, o = ck.restore_checkpoint(path, params, opt)
+    assert epoch == 3
+    np.testing.assert_array_equal(p["dense"]["kernel"], params["dense"]["kernel"])
+    assert int(o["count"]) == 7
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from advmil_tpu.train import checkpoint as ck
+    params = {"w": np.ones((2, 2), np.float32)}
+    path = str(tmp_path / "orbax_ckpt")
+    ck.save_checkpoint_orbax(path, 5, params, {"n": np.asarray(1)})
+    epoch, p, o = ck.restore_checkpoint_orbax(path)
+    assert epoch == 5
+    np.testing.assert_array_equal(p["w"], params["w"])
