@@ -191,3 +191,35 @@ class TestGAN:
         y = net.apply(variables, x, mask, None, deterministic=True)
         assert y.shape == (1, 4)
         assert np.all((np.asarray(y) >= 0) & (np.asarray(y) <= 1))
+
+
+class TestPositionalEmbedding:
+    def test_dualtrans_with_region_coords(self):
+        """Optional 2-D sin-cos PE path (reference compute_pe,
+        model/backbone_utils.py:90-99): region coords change the embedding but
+        keep padding invariance."""
+        from advmil_tpu.ops.pe import compute_pe, posemb_sincos_2d
+        model = DualTransHS(DIMS, nhead=4, use_pallas=False)
+        x = _bag(64)  # 4 regions
+        mask = jnp.ones((1, 64), jnp.float32)
+        coords = jnp.asarray([[[0, 0], [0, 1], [1, 0], [1, 1]]], jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key}, x, mask,
+                               coords, deterministic=True)
+        h_pe = model.apply(variables, x, mask, coords, deterministic=True)
+        h_nope = model.apply(variables, x, mask, None, deterministic=True)
+        assert np.abs(np.asarray(h_pe - h_nope)).max() > 1e-4
+        # PE dims: [B, L, ndim], values bounded by sin/cos
+        pe = compute_pe(coords, ndim=32)
+        assert pe.shape == (1, 4, 32)
+        assert np.abs(np.asarray(pe)).max() <= 1.0 + 1e-6
+
+    def test_posemb_formula(self):
+        from advmil_tpu.ops.pe import posemb_sincos_2d
+        y = jnp.asarray([0.0, 2.0])
+        x = jnp.asarray([1.0, 3.0])
+        pe = posemb_sincos_2d(y, x, dim=8)
+        # layout [sin(x*w), cos(x*w), sin(y*w), cos(y*w)] with w = [1, 1e-4]
+        np.testing.assert_allclose(np.asarray(pe[0]),
+                                   [np.sin(1), np.sin(1e-4), np.cos(1),
+                                    np.cos(1e-4), 0, 0, 1, 1], atol=1e-6)
