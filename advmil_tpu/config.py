@@ -26,6 +26,7 @@ TPU_DEFAULTS = {
     "inst_devices": 1,             # instance(sequence)-parallel device count
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
+    "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
     "num_graph_layers": 1,
     "graph_edge_agg": "spatial",
     "cache_bags": True,

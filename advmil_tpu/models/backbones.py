@@ -200,6 +200,7 @@ class DualTransHS(nn.Module):
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
+    use_fused_embed: bool = False
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -207,6 +208,7 @@ class DualTransHS(nn.Module):
         assert dim_hid == dim_out
         emb = make_embedding_layer(self.emb_backbone, dim_in, dim_hid,
                                    ksize=self.emb_ksize,
+                                   use_fused=self.use_fused_embed,
                                    name="patch_embedding")(
             x, mask, deterministic=deterministic)        # [B, L, hid]
         rmask = region_mask_from_patch_mask(mask)        # [B, L]
@@ -225,13 +227,15 @@ class DualTransHS(nn.Module):
 
 
 def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XAVIER,
-                  use_pallas: bool = True, num_graph_layers: int = 1) -> nn.Module:
+                  use_pallas: bool = True, num_graph_layers: int = 1,
+                  use_fused_embed: bool = False) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]
     if mode == "patch":
         return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
-                           dropout=0.25, dense_init=dense_init, use_pallas=use_pallas)
+                           dropout=0.25, dense_init=dense_init,
+                           use_pallas=use_pallas, use_fused_embed=use_fused_embed)
     if mode == "cluster":
         return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)
     if mode == "graph":

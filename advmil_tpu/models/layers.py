@@ -208,12 +208,36 @@ class AvgPoolPatchEmbedding(nn.Module):
     scale: int = 4
     ksize: int = 1
     dense_init: str = DenseInit.TORCH  # Conv2d keeps torch default in the reference
+    use_fused: bool = False  # fused Pallas Dense+LN+ReLU+region-mean kernel
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
         B, N, C = x.shape
         s2 = self.scale * self.scale
         L = N // s2
+        if self.ksize == 1 and self.use_fused and s2 == 16:
+            from ..ops.fused_embed import fused_region_embedding
+            from ..ops.attention import pallas_available
+            dense = make_dense(self.out_dim, self.dense_init,
+                               in_features=self.in_dim, name="Dense_0")
+            ln = nn.LayerNorm(dtype=compute_dtype(), name="LayerNorm_0")
+            # touch the submodules on a 1-patch slice so their params exist
+            # under the same names as the unfused path (checkpoint compatible);
+            # the dummy results are dead code after DCE
+            _ = ln(dense(x[:, :1]))
+            if pallas_available():
+                w = dense.variables["params"]["kernel"]
+                bb = dense.variables["params"]["bias"]
+                sc = ln.variables["params"]["scale"]
+                bi = ln.variables["params"]["bias"]
+                out = fused_region_embedding(x.reshape(B * N, C), w, bb, sc, bi)
+                out = out.reshape(B, L, self.out_dim)
+                rmask = jnp.any(mask.reshape(B, L, s2).astype(bool), axis=-1)
+                return out * rmask[..., None].astype(out.dtype)
+            h = nn.relu(ln(dense(x)))
+            h = h.reshape(B, L, s2, self.out_dim)
+            m = mask.reshape(B, L, s2)
+            return masked_mean(h, m[..., None], axis=-2)
         if self.ksize == 1:
             h = make_dense(self.out_dim, self.dense_init, in_features=self.in_dim)(x)
         else:
@@ -276,7 +300,8 @@ class GAPoolPatchEmbedding(nn.Module):
 
 def make_embedding_layer(backbone: str, in_dim: int, out_dim: int,
                          ksize: int = 1, dense_init: str = DenseInit.TORCH,
-                         name: str | None = None) -> nn.Module:
+                         name: str | None = None,
+                         use_fused: bool = False) -> nn.Module:
     """Embedding-layer factory (reference make_embedding_layer,
     model/backbone_utils.py:101-111)."""
     if backbone == "gapool":
@@ -284,7 +309,8 @@ def make_embedding_layer(backbone: str, in_dim: int, out_dim: int,
                                     dense_init=dense_init, name=name)
     if backbone == "avgpool":
         return AvgPoolPatchEmbedding(in_dim, out_dim, ksize=ksize,
-                                     dense_init=dense_init, name=name)
+                                     dense_init=dense_init, name=name,
+                                     use_fused=use_fused)
     raise NotImplementedError(f"{backbone} has not implemented.")
 
 
