@@ -172,7 +172,8 @@ def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
         time_bins=cfg["time_bins"], ratio_sampling=ratio_sampling,
         ratio_mask=ratio_mask, cluster_path=cfg.get("path_cluster"),
         coord_path=cfg.get("path_coordx5"), graph_path=cfg.get("path_graph"),
-        rng=kws.get("rng"), edge_agg=cfg.get("graph_edge_agg", "spatial"))
+        rng=kws.get("rng"), edge_agg=cfg.get("graph_edge_agg", "spatial"),
+        cache=cfg.get("cache_bags", True))
 
 
 @dataclass
