@@ -33,8 +33,10 @@ LN_EPS = 1e-6    # flax LayerNorm default
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, sc_ref, bi_ref, o_ref):
-    x = x_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
+    # keep the MXU inputs in their storage dtype (bf16 under mixed precision;
+    # accumulation still f32) — an f32 upcast would halve matmul throughput
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)
     h = jnp.dot(x, w, preferred_element_type=jnp.float32) + b_ref[:]
     mu = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
@@ -44,8 +46,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, sc_ref, bi_ref, o_ref):
 
 
 def _recompute(x, w, b, scale, bias):
-    """Shared forward recompute used by both backward kernels (f32)."""
-    h = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    """Shared forward recompute used by both backward kernels (f32 accum)."""
+    h = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32) + b
     mu = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + LN_EPS)
@@ -72,11 +74,12 @@ def _bwd_g_to_dh(g_ref, x, w, b, scale, bias, D):
 
 
 def _bwd_dx_kernel(g_ref, x_ref, w_ref, b_ref, sc_ref, bi_ref, dx_ref):
-    x = x_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
+    x = x_ref[:]
+    w = w_ref[:]
     D = w.shape[1]
     dh, _, _ = _bwd_g_to_dh(g_ref, x, w, b_ref[:], sc_ref[:], bi_ref[:], D)
-    dx_ref[:] = jnp.dot(dh, w.T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dx_ref[:] = jnp.dot(dh.astype(x.dtype), w.T.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 def _bwd_dparams_kernel(g_ref, x_ref, w_ref, b_ref, sc_ref, bi_ref,
@@ -92,11 +95,12 @@ def _bwd_dparams_kernel(g_ref, x_ref, w_ref, b_ref, sc_ref, bi_ref,
         dsc_scr[:] = jnp.zeros_like(dsc_scr)
         dbi_scr[:] = jnp.zeros_like(dbi_scr)
 
-    x = x_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
+    x = x_ref[:]
+    w = w_ref[:]
     D = w.shape[1]
     dh, xhat, gy = _bwd_g_to_dh(g_ref, x, w, b_ref[:], sc_ref[:], bi_ref[:], D)
-    dw_scr[:] += jnp.dot(x.T, dh, preferred_element_type=jnp.float32)
+    dw_scr[:] += jnp.dot(x.T, dh.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
     db_scr[:] += jnp.sum(dh, axis=0, keepdims=True)
     dsc_scr[:] += jnp.sum(gy * xhat, axis=0, keepdims=True)
     dbi_scr[:] += jnp.sum(gy, axis=0, keepdims=True)
