@@ -27,6 +27,7 @@ TPU_DEFAULTS = {
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
+    "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,
     "graph_edge_agg": "spatial",
     "cache_bags": True,

@@ -98,9 +98,9 @@ class BagDataset:
                 import h5py
                 with h5py.File(path, "r") as hf:
                     total += int(hf["features"].shape[0])
-            else:  # .pt etc: no cheap header peek
-                total += int(self._load_feats(pid).shape[0])
-                return total
+            else:  # .pt etc: no cheap header peek — load once, keep it
+                item = self[index]  # populates self._cache when enabled
+                return int(item["feats"].shape[0])
         return total
 
     def bag_sizes(self) -> np.ndarray:
@@ -125,6 +125,14 @@ class BagDataset:
                 item["feats"], self.ratio_mask, scale=4, mask_way="mask_zero",
                 rng=self.rng)
         return item
+
+    def _coord_file(self, sid: str) -> str:
+        for ext in ("h5", "npz", "npy"):
+            path = osp.join(self.coord_path, f"{sid}.{ext}")
+            if osp.exists(path):
+                return path
+        raise FileNotFoundError(f"no coord file for slide {sid} under "
+                                f"{self.coord_path} (tried .h5/.npz/.npy)")
 
     def _load(self, index: int) -> dict:
         pid = self.pids[index]
@@ -153,7 +161,7 @@ class BagDataset:
                 ei = ei[:, np.argsort(ei[0], kind="stable")]
             item["edge_index"] = ei
         elif self.mode == "patch" and self.coord_path:
-            coords = [read_patch_coord(osp.join(self.coord_path, f"{sid}.h5"))
+            coords = [read_patch_coord(self._coord_file(sid))
                       for sid in self.pid2sid[pid]]
             item["coords"] = np.concatenate(coords, axis=0)
         return item
@@ -171,7 +179,9 @@ def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
         read_format=cfg["feat_format"], time_format=cfg["time_format"],
         time_bins=cfg["time_bins"], ratio_sampling=ratio_sampling,
         ratio_mask=ratio_mask, cluster_path=cfg.get("path_cluster"),
-        coord_path=cfg.get("path_coordx5"), graph_path=cfg.get("path_graph"),
+        coord_path=(cfg.get("path_coordx5")
+                    if cfg.get("use_coords_pe", False) else None),
+        graph_path=cfg.get("path_graph"),
         rng=kws.get("rng"), edge_agg=cfg.get("graph_edge_agg", "spatial"),
         cache=cfg.get("cache_bags", True))
 
@@ -205,6 +215,7 @@ class BucketBatcher:
         self.edges_per_node = edges_per_node
         self.batch_multiple = batch_multiple  # e.g. the DP device count
         self.prefetch_depth = 2  # set from cfg num_workers by the handlers
+        self._warned_edge_truncation = False
         sizes = dataset.bag_sizes()
         self.buckets = default_buckets(int(sizes.max()), min_bucket)
         self.item_bucket = np.searchsorted(self.buckets, sizes)
@@ -258,11 +269,14 @@ class BucketBatcher:
             depth = max(2, self.prefetch_depth)
         q: queue.Queue = queue.Queue(maxsize=depth)
         sentinel = object()
+        error: list = []
 
         def worker():
             try:
                 for b in self.epoch_batches(shuffle=shuffle, rng=rng):
                     q.put(b)
+            except BaseException as exc:  # propagate to the consumer
+                error.append(exc)
             finally:
                 q.put(sentinel)
 
@@ -274,6 +288,8 @@ class BucketBatcher:
                 break
             yield item
         th.join()
+        if error:
+            raise error[0]
 
     def _make_batch(self, bucket_n: int, item_ids: list) -> Batch:
         bb = self.batch_size_for(bucket_n)
@@ -307,6 +323,12 @@ class BucketBatcher:
             em = np.zeros((bb, Eb), np.float32)
             for j, it in enumerate(items):
                 e = it["edge_index"]  # [2, E] rows (dst, src)
+                if e.shape[1] > Eb and not self._warned_edge_truncation:
+                    self._warned_edge_truncation = True
+                    print(f"[batcher] WARNING: truncating {e.shape[1] - Eb} of "
+                          f"{e.shape[1]} edges to the {Eb} budget "
+                          f"(raise graph_edges_per_node, currently "
+                          f"{self.edges_per_node})")
                 E = min(e.shape[1], Eb)
                 ei[j, :E, 0] = e[0, :E]
                 ei[j, :E, 1] = e[1, :E]

@@ -90,7 +90,7 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
         "path_label": table_path,
         "path_cluster": cluster_dir,
         "path_graph": graph_dir,
-        "path_coordx5": None,
+        "path_coordx5": coord_dir,
         "feat_format": "npy",
         "data_split_path": osp.join(root, "split-fold{}.npz"),
         "split_paths": split_paths,

@@ -177,6 +177,15 @@ class BaselineHandler:
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"])
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
+        if self.task == "surv_cox":
+            # Cox partial likelihood builds risk sets WITHIN a batch; a
+            # single-bag batch contributes exactly zero loss/gradient
+            degenerate = [n for n in b.buckets if b.batch_size_for(n) < 2]
+            if degenerate:
+                print(f"[surv_cox] WARNING: buckets {degenerate} get batch "
+                      "size 1 -> zero PLE gradient for those bags; raise "
+                      "batch_token_budget. Note risk sets are bucket-local "
+                      "(the reference uses 16 random bags per step).")
         return b
 
     def _to_device(self, batch):
@@ -270,7 +279,11 @@ class BaselineHandler:
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             self.state = self.state.replace(opt=opt._replace(hyperparams=hp))
         except AttributeError:
-            pass
+            if not getattr(self, "_warned_no_lr_injection", False):
+                self._warned_no_lr_injection = True
+                print("[lr] WARNING: optimizer state has no injected "
+                      "learning_rate (adahessian bakes LR into the transform); "
+                      "ReduceLROnPlateau has no effect")
 
     def _train_each_epoch(self, loader):
         ds, batcher = loader
@@ -338,9 +351,11 @@ class BaselineHandler:
         sampling = cfg["test_sampling_times"] if test_mode else 1
         ckpt = self._ckpt_path(ckpt_type, "train" if test_mode else run_name,
                                load=test_mode)
-        params = None
-        if osp.exists(ckpt):
-            _, params, _ = ckpt_lib.restore_checkpoint(ckpt, self.state.params)
+        if not osp.exists(ckpt):
+            raise FileNotFoundError(
+                f"checkpoint {ckpt} not found (no '{ckpt_type}' model was "
+                "saved — check es_warmup/epochs or test_load_path)")
+        _, params, _ = ckpt_lib.restore_checkpoint(ckpt, self.state.params)
         wandb_group = f"{'bestckpt' if ckpt_type == 'best' else 'lastckpt'}/{group}"
         print_path = add_prefix_to_filename(self.metrics_paths[ckpt_type], group)
         metrics = {}

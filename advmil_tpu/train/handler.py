@@ -448,7 +448,11 @@ class AdvHandler:
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             self.state = self.state.replace(opt_G=opt_G._replace(hyperparams=hp))
         except AttributeError:
-            pass  # optimizer without injected hyperparams: keep base LR
+            if not getattr(self, "_warned_no_lr_injection", False):
+                self._warned_no_lr_injection = True
+                print("[lr] WARNING: optimizer state has no injected "
+                      "learning_rate (accum_steps>1 wraps it in MultiSteps); "
+                      "ReduceLROnPlateau has no effect")
 
     def _train_each_epoch(self, loader, name_loader, mode="wlabel"):
         ds, batcher = loader
@@ -541,12 +545,17 @@ class AdvHandler:
             group = run_name
             sampling_times = cfg["times_test_sample"]
         # load checkpoints
-        pG = pD = None
         gpath = self._ckpt_path("G", ckpt_type, ckpt_run, load=test_mode)
         dpath = self._ckpt_path("D", ckpt_type, ckpt_run, load=test_mode)
-        if osp.exists(gpath):
-            _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G)
-            _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D)
+        if not osp.exists(gpath):
+            # the reference crashes on torch.load of a missing checkpoint
+            # (model_handler.py:600-603); evaluating fresh params silently
+            # would produce garbage metrics
+            raise FileNotFoundError(
+                f"checkpoint {gpath} not found (no '{ckpt_type}' model was "
+                "saved — check es_warmup/epochs or test_load_path)")
+        _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G)
+        _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D)
         wandb_group = f"{'bestckpt' if ckpt_type == 'best' else 'lastckpt'}/{group}"
         print_path = add_prefix_to_filename(self.metrics_paths[ckpt_type], group)
         csv_name = f"{group}_{ckpt_type}"

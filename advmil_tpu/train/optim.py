@@ -42,9 +42,31 @@ def _cosine_similarity_flat(a, b, eps):
     return num / jnp.maximum(den, eps)
 
 
-def scale_by_adamp(b1=0.9, b2=0.999, eps=1e-8, delta=0.1, wd_ratio=0.1):
+def _adamp_project(d, p, delta, wd_ratio):
+    """AdamP projection: remove the radial component of update ``d`` when it
+    is ~aligned with the weight ``p``. Returns (d_out, decay_ratio) where
+    decay_ratio is wd_ratio if the projection was applied else 1 (the
+    reference decays projected params 10x less, adamp.py/sgdp.py)."""
+    pv = p.reshape(-1)
+    dv = d.reshape(-1)
+    cos = jnp.abs(_cosine_similarity_flat(pv, dv, 1e-30))
+    p_unit = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
+    d_proj = dv - jnp.sum(dv * p_unit) * p_unit
+    use_proj = cos < delta / jnp.sqrt(jnp.asarray(pv.size, jnp.float32))
+    out = jnp.where(use_proj, d_proj, dv).reshape(p.shape)
+    ratio = jnp.where(use_proj, wd_ratio, 1.0)
+    return out, ratio
+
+
+def scale_by_adamp(b1=0.9, b2=0.999, eps=1e-8, delta=0.1, wd_ratio=0.1,
+                   weight_decay=0.0):
     """AdamP (Heo et al. 2021): Adam step with the component parallel to the
-    weight vector projected out for scale-invariant (>1-d) parameters."""
+    weight vector projected out for scale-invariant (>1-d) parameters.
+
+    Weight decay follows the reference semantics (optim/adamp.py): applied
+    AFTER the projection as ``wd * ratio * p`` folded into the update (the
+    reference's multiplicative ``p *= 1 - lr*wd*ratio``), with ratio=wd_ratio
+    for projected params; 1-d params are never decayed (timm exclusion)."""
 
     def init(params):
         mu = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -64,15 +86,10 @@ def scale_by_adamp(b1=0.9, b2=0.999, eps=1e-8, delta=0.1, wd_ratio=0.1):
             d = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
             if p.ndim <= 1:
                 return d
-            # project out the radial component when update ~aligned with p
-            pv = p.reshape(-1)
-            dv = d.reshape(-1)
-            cos = jnp.abs(_cosine_similarity_flat(pv, dv, 1e-30))
-            p_unit = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
-            d_proj = dv - jnp.sum(dv * p_unit) * p_unit
-            use_proj = cos < delta / jnp.sqrt(jnp.asarray(pv.size, jnp.float32))
-            out = jnp.where(use_proj, d_proj, dv)
-            return out.reshape(p.shape)
+            d, ratio = _adamp_project(d, p, delta, wd_ratio)
+            if weight_decay:
+                d = d + weight_decay * ratio * p
+            return d
 
         new_updates = jax.tree_util.tree_map(step, mu, nu, params)
         return new_updates, ScaleByAdamPState(count, mu, nu)
@@ -80,8 +97,10 @@ def scale_by_adamp(b1=0.9, b2=0.999, eps=1e-8, delta=0.1, wd_ratio=0.1):
     return optax.GradientTransformation(init, update)
 
 
-def scale_by_sgdp(momentum=0.9, nesterov=False, delta=0.1):
-    """SGDP: SGD-momentum with the AdamP projection."""
+def scale_by_sgdp(momentum=0.9, nesterov=False, delta=0.1, wd_ratio=0.1,
+                  weight_decay=0.0):
+    """SGDP: SGD-momentum with the AdamP projection (and its post-projection
+    decay semantics, see scale_by_adamp)."""
 
     def init(params):
         return jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -94,12 +113,10 @@ def scale_by_sgdp(momentum=0.9, nesterov=False, delta=0.1):
         def step(d, p):
             if p.ndim <= 1:
                 return d
-            pv, dv = p.reshape(-1), d.reshape(-1)
-            cos = jnp.abs(_cosine_similarity_flat(pv, dv, 1e-30))
-            p_unit = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
-            d_proj = dv - jnp.sum(dv * p_unit) * p_unit
-            use_proj = cos < delta / jnp.sqrt(jnp.asarray(pv.size, jnp.float32))
-            return jnp.where(use_proj, d_proj, dv).reshape(p.shape)
+            d, ratio = _adamp_project(d, p, delta, wd_ratio)
+            if weight_decay:
+                d = d + weight_decay * ratio * p
+            return d
 
         new_updates = jax.tree_util.tree_map(step, eff, params)
         return new_updates, buf
@@ -232,9 +249,13 @@ def _build(opt_lower: str, learning_rate, weight_decay: float, momentum,
         return optax.adafactor(learning_rate=learning_rate,
                                weight_decay_rate=wd or None)
     if opt_lower == "adamp":
-        return coupled_l2(scale_by_adamp(b1=b1, b2=b2, eps=eps or 1e-8))
+        # decay handled inside the transform (post-projection, wd_ratio)
+        return optax.chain(scale_by_adamp(b1=b1, b2=b2, eps=eps or 1e-8,
+                                          weight_decay=wd),
+                           optax.scale_by_learning_rate(learning_rate))
     if opt_lower == "sgdp":
-        return coupled_l2(scale_by_sgdp(momentum=mom))
+        return optax.chain(scale_by_sgdp(momentum=mom, weight_decay=wd),
+                           optax.scale_by_learning_rate(learning_rate))
     if opt_lower == "novograd":
         return coupled_l2(optax.scale_by_novograd(b1=0.95, b2=0.98, eps=eps or 1e-8))
     if opt_lower == "nvnovograd":

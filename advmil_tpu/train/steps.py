@@ -90,7 +90,12 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
         extra = _gen_extra(batch, bcb_mode)
 
         if is_disc_task:
-            y_disc, y_mask = losses.get_label_mask(t, e, nbins)
+            # PARITY QUIRK: the reference passes the EVENT indicator into
+            # get_label_mask's censorship parameter (model_handler.py:382
+            # calls get_label_mask(t, data_ind, bins) where func.py:59 treats
+            # arg 2 as c), so events get label (z > t) and censored get
+            # one-hot(z == t). Passing (1 - e) here reproduces that behavior.
+            y_disc, y_mask = losses.get_label_mask(t, 1.0 - e, nbins)
         else:
             y_disc = y_mask = None
 
@@ -100,8 +105,11 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
                                     rngs={"noise": kD_noise})
         pred_detached = jax.lax.stop_gradient(pred_eval)
 
+        # independent dropout masks for the real and fake D forwards (the
+        # reference's two train-mode netD calls each draw fresh masks)
+        kD_drop_real, kD_drop_fake = jax.random.split(kD_drop)
+
         def d_loss_fn(params_D):
-            rngs = {"dropout": kD_drop}
             if is_disc_task:
                 t_real = y_disc * y_mask
                 real_w = smask  # visibility not gated for disc-task real pairs
@@ -112,10 +120,12 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
                 fake_in = pred_detached
             f_real = disc_model.apply({"params": params_D}, feats, t_real, mask,
                                       deterministic=False,
-                                      rngs=rngs).astype(jnp.float32)
+                                      rngs={"dropout": kD_drop_real}
+                                      ).astype(jnp.float32)
             f_fake = disc_model.apply({"params": params_D}, feats, fake_in, mask,
                                       deterministic=False,
-                                      rngs=rngs).astype(jnp.float32)
+                                      rngs={"dropout": kD_drop_fake}
+                                      ).astype(jnp.float32)
             loss = losses.real_fake_loss(f_real, f_fake, which=loss_netD,
                                          real_weight=real_w, fake_weight=smask)
             aux = {"f_real": f_real, "f_fake": f_fake, "real_w": real_w}

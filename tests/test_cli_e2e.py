@@ -38,7 +38,7 @@ def _run_cli(cfg, tmp_path, handler, multi_run=False):
 
 
 def test_cli_adv(synth, tmp_path):
-    cfg = base_cfg(synth, tmp_path, epochs=1, times_test_sample=2,
+    cfg = base_cfg(synth, tmp_path, epochs=2, times_test_sample=2,
                    bcb_dims="256-32-32", gen_dims="32-1",
                    disc_netx_in_dim=256, disc_netx_out_dim=16,
                    disc_nety_hid_dims="8-16")
@@ -48,7 +48,7 @@ def test_cli_adv(synth, tmp_path):
 
 
 def test_cli_multirun_grid(synth, tmp_path):
-    cfg = base_cfg(synth, tmp_path, epochs=1, times_test_sample=2,
+    cfg = base_cfg(synth, tmp_path, epochs=2, times_test_sample=2,
                    bcb_dims="256-32-32", gen_dims="32-1",
                    disc_netx_in_dim=256, disc_netx_out_dim=16,
                    disc_nety_hid_dims="8-16")
@@ -60,7 +60,7 @@ def test_cli_multirun_grid(synth, tmp_path):
 
 
 def test_cli_base(synth, tmp_path):
-    cfg = base_cfg(synth, tmp_path, epochs=1, times_test_sample=1,
+    cfg = base_cfg(synth, tmp_path, epochs=2, times_test_sample=1,
                    gen_noi_noise="0-0",
                    bcb_dims="256-32-32", gen_dims="32-1",
                    disc_netx_in_dim=256, disc_netx_out_dim=16,

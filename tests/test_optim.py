@@ -168,6 +168,6 @@ def test_baseline_handler_adahessian(tmp_path):
     cfg = baseline_cfg(paths, tmp_path, opt_net="adahessian",
                        bcb_dims="64-16-16", pdh_dims="16-1",
                        disc_netx_in_dim=64, disc_netx_out_dim=8,
-                       disc_nety_hid_dims="4-8", epochs=1)
+                       disc_nety_hid_dims="4-8", epochs=2)
     metrics = BaselineHandler(cfg).exec()
     assert np.isfinite(dict(metrics["validation"])["cindex"])

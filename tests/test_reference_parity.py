@@ -153,3 +153,17 @@ def test_early_stopping_vs_reference():
         assert ref.if_stop() == ours.if_stop(), ep
         if ref.if_stop():
             break
+
+
+def test_disc_task_label_mask_matches_reference_handler():
+    """The reference HANDLER passes the event indicator into get_label_mask's
+    censorship arg (model_handler.py:382), flipping the documented semantics;
+    the train step must reproduce that exact behavior."""
+    t = torch.tensor([[0.0], [2.0], [3.0]])
+    e = torch.tensor([[1.0], [0.0], [1.0]])
+    want_label, want_mask = ref_func.get_label_mask(t, e, 4)  # handler call
+    got_label, got_mask = losses.get_label_mask(
+        np.array([0, 2, 3]), 1.0 - np.array([1.0, 0.0, 1.0]), 4)  # steps.py call
+    np.testing.assert_array_equal(np.asarray(got_label), want_label.numpy())
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  want_mask.numpy().astype(np.float32))

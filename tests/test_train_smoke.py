@@ -132,7 +132,7 @@ def test_adv_disc_task(synth, tmp_path):
 def test_adv_semi_supervised(synth, tmp_path):
     from advmil_tpu.train.handler import AdvHandler
     cfg = base_cfg(synth, tmp_path, semi_training=True,
-                   semi_training_mode="UD+LD", ssl_epochs=2, ssl_kfold=2)
+                   semi_training_mode="UD+LD", ssl_epochs=3, ssl_kfold=2)
     handler = AdvHandler(cfg)
     metrics = handler.exec_semi_sl()
     assert "validation" in metrics
