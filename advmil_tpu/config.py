@@ -30,6 +30,7 @@ TPU_DEFAULTS = {
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,
     "graph_edge_agg": "spatial",
+    "graph_edges_per_node": 9,     # padded edge budget per node (kNN radius)
     "cache_bags": True,
     "accum_steps": 1,
     "profile_dir": None,

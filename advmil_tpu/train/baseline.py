@@ -175,7 +175,8 @@ class BaselineHandler:
     def _batcher(self, ds):
         b = BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
                           max_batch=self.cfg["batch_max_size"],
-                          min_bucket=self.cfg["bucket_min"])
+                          min_bucket=self.cfg["bucket_min"],
+                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         if self.task == "surv_cox":
             # Cox partial likelihood builds risk sets WITHIN a batch; a

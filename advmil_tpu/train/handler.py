@@ -223,7 +223,8 @@ class AdvHandler:
                           token_budget=self.cfg["batch_token_budget"],
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
-                          batch_multiple=int(self.cfg.get("dp_devices", 1) or 1))
+                          batch_multiple=int(self.cfg.get("dp_devices", 1) or 1),
+                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
 
