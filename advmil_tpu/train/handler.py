@@ -103,21 +103,25 @@ class AdvHandler:
         self.coef_gan = cfg["loss_gan_coef"]
         self.l1_coef = cfg["loss_regl1_coef"] or 0.0
 
+        # optional gradient accumulation (the reference's bp_every_batch
+        # pattern is replaced by true batching; accumulation stays available
+        # for memory-constrained giant buckets, SURVEY.md §2.10). MultiSteps
+        # goes INSIDE inject_hyperparams so the injected learning_rate stays
+        # addressable by ReduceLROnPlateau (_set_lr) — the reference always
+        # has plateau LR active (model/model_handler.py:109,289).
+        accum = int(cfg.get("accum_steps", 1) or 1)
+
         def make_G_tx(learning_rate):
-            return create_optimizer(cfg["opt_netG"], learning_rate,
-                                    weight_decay=cfg["opt_netG_weight_decay"],
-                                    params=self.params_G)
+            tx = create_optimizer(cfg["opt_netG"], learning_rate,
+                                  weight_decay=cfg["opt_netG_weight_decay"],
+                                  params=self.params_G)
+            return optax.MultiSteps(tx, accum) if accum > 1 else tx
 
         self.base_lr_G = cfg["opt_netG_lr"]
         self.tx_G = optax.inject_hyperparams(make_G_tx)(
             learning_rate=self.base_lr_G)
         self.tx_D = optax.adam(cfg["opt_netD_lr"], b1=0.9, b2=0.999)
-        # optional gradient accumulation (the reference's bp_every_batch
-        # pattern is replaced by true batching; accumulation stays available
-        # for memory-constrained giant buckets, SURVEY.md §2.10)
-        accum = int(cfg.get("accum_steps", 1) or 1)
         if accum > 1:
-            self.tx_G = optax.MultiSteps(self.tx_G, accum)
             self.tx_D = optax.MultiSteps(self.tx_D, accum)
         self.state = AdvTrainState(
             params_G=self.params_G, params_D=self.params_D,
@@ -452,8 +456,7 @@ class AdvHandler:
             if not getattr(self, "_warned_no_lr_injection", False):
                 self._warned_no_lr_injection = True
                 print("[lr] WARNING: optimizer state has no injected "
-                      "learning_rate (accum_steps>1 wraps it in MultiSteps); "
-                      "ReduceLROnPlateau has no effect")
+                      "learning_rate; ReduceLROnPlateau has no effect")
 
     def _train_each_epoch(self, loader, name_loader, mode="wlabel"):
         ds, batcher = loader
