@@ -98,9 +98,18 @@ class BagDataset:
                 import h5py
                 with h5py.File(path, "r") as hf:
                     total += int(hf["features"].shape[0])
-            else:  # .pt etc: no cheap header peek — load once, keep it
-                item = self[index]  # populates self._cache when enabled
-                return int(item["feats"].shape[0])
+            else:
+                # .pt: mmap-load (zipfile serialization) so only the header
+                # is touched; legacy formats fall back to a full load that
+                # lands in the bag cache when enabled.
+                try:
+                    import torch
+                    t = torch.load(path, map_location="cpu", mmap=True,
+                                   weights_only=True)
+                    total += int(t.shape[0])
+                except Exception:
+                    item = self[index]  # populates self._cache when enabled
+                    return int(item["feats"].shape[0])
         return total
 
     def bag_sizes(self) -> np.ndarray:
@@ -148,11 +157,24 @@ class BagDataset:
             offset = 0
             key = "edge_index" if self.edge_agg == "spatial" else "edge_latent"
             for sid in self.pid2sid[pid]:
-                g = np.load(osp.join(self.graph_path, f"{sid}.npz"))
-                # stored as [2, E] (dst, src) per slide; offset per slide
-                ei = g[key].astype(np.int64) + offset
+                npz_path = osp.join(self.graph_path, f"{sid}.npz")
+                if osp.exists(npz_path):
+                    g = np.load(npz_path)
+                    # stored as [2, E] (dst, src) per slide; offset per slide
+                    ei = g[key].astype(np.int64) + offset
+                    nn_ = int(g["num_nodes"])
+                else:
+                    # reference-format torch_geometric geomData pickle
+                    # (reference dataset/PatchWSI.py:96-105). PyG rows are
+                    # (source, target) with aggregation at the TARGET
+                    # (MessagePassing flow source_to_target), so flip to our
+                    # (dst, src) convention.
+                    from ..utils.io import read_geom_graph
+                    g = read_geom_graph(osp.join(self.graph_path, f"{sid}.pt"))
+                    ei = g[key][::-1].astype(np.int64) + offset
+                    nn_ = int(g["num_nodes"])
                 edges.append(ei)
-                offset += int(g["num_nodes"])
+                offset += nn_
             ei = np.concatenate(edges, axis=1)  # [2, E_total]
             # dst-sorted edges let the segment reductions lower as sorted
             # (per-slide output is already sorted; concat keeps it sorted

@@ -189,3 +189,62 @@ def save_prediction(patient_id, y_true, y_pred, dist_pred, save_path: str):
                           + [f"surf_{i + 1}" for i in range(bins)])
         df.insert(0, "patient_id", patient_id)
     df.to_csv(save_path, index=False)
+
+
+class _GeomStub:
+    """Placeholder for pickled torch_geometric classes: captures the pickled
+    attribute dict without importing torch_geometric."""
+
+    def __init__(self, *args, **kwargs):
+        self.__dict__.update(kwargs)
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple):  # (dict_state, slots_state)
+            for part in state:
+                if part:
+                    self.__dict__.update(part)
+        elif isinstance(state, dict):
+            self.__dict__.update(state)
+
+
+def read_geom_graph(path: str) -> dict:
+    """Read a reference-format torch_geometric ``geomData`` graph ``.pt``
+    (reference tools/patchgcn_graph_s2.py:88-92, consumed at reference
+    dataset/PatchWSI.py:96-105) WITHOUT torch_geometric installed: any
+    ``torch_geometric.*`` class in the pickle is swapped for a stub that
+    just captures attributes.
+
+    Returns numpy arrays: x [N, C], edge_index [2, E], edge_latent [2, E],
+    centroid [N, 2] (missing fields -> absent keys), plus num_nodes.
+    """
+    import pickle
+
+    import torch
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("torch_geometric"):
+                return _GeomStub
+            return super().find_class(module, name)
+
+    shim = type("pickle_shim", (), {"Unpickler": _Unpickler,
+                                    "load": staticmethod(pickle.load),
+                                    "dump": staticmethod(pickle.dump)})
+    obj = torch.load(path, map_location="cpu", pickle_module=shim,
+                     weights_only=False)
+    # PyG <2 keeps attrs in __dict__; PyG >=2 nests them in a _store mapping
+    attrs = dict(getattr(obj, "__dict__", {}) or {})
+    store = attrs.pop("_store", None)
+    if store is not None:
+        inner = getattr(store, "__dict__", None) or {}
+        attrs.update(inner.get("_mapping", inner))
+    out = {}
+    for k in ("x", "edge_index", "edge_latent", "centroid"):
+        v = attrs.get(k)
+        if v is None:
+            continue
+        v = getattr(v, "detach", lambda: v)()
+        out[k] = np.asarray(v.cpu().numpy() if hasattr(v, "cpu") else v)
+    if "x" in out:
+        out["num_nodes"] = int(out["x"].shape[0])
+    return out
