@@ -19,7 +19,8 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
                            min_regions: int = 8, max_regions: int = 64,
                            event_frac: float = 0.65, seed: int = 0,
                            n_clusters: int = 8, with_graph: bool = True,
-                           n_folds: int = 1) -> dict:
+                           n_folds: int = 1, feat_format: str = "npy",
+                           time_noise: float = 5.0) -> dict:
     """Build a synthetic dataset under ``root``; returns a config-path dict.
 
     Bag sizes are multiples of 16 (region structure). The survival time is a
@@ -42,10 +43,17 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
         signal = rng.uniform(-1.0, 1.0)
         feats = rng.normal(0, 1, size=(n, dim)).astype(np.float32)
         feats[:, :8] += signal
-        t = float(np.clip(50.0 * (1.0 + signal) + rng.normal(0, 5.0), 1.0, 120.0))
+        t = float(np.clip(50.0 * (1.0 + signal) + rng.normal(0, time_noise),
+                          1.0, 120.0))
         e = int(rng.uniform() < event_frac)
         sid = f"S{i:04d}"
-        np.save(osp.join(feat_dir, f"{sid}.npy"), feats)
+        if feat_format == "pt":
+            # reference on-disk format (reference utils/io.py:78-101)
+            import torch
+            torch.save(torch.from_numpy(feats),
+                       osp.join(feat_dir, f"{sid}.pt"))
+        else:
+            np.save(osp.join(feat_dir, f"{sid}.npy"), feats)
         rows.append({"pathology_id": sid, "patient_id": pid, "e": e, "t": t})
         # cluster ids (patient-level file, like tools/deepattnmisl_cluster.py)
         cids = rng.integers(0, n_clusters, size=n).astype(np.int64)
@@ -91,7 +99,7 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
         "path_cluster": cluster_dir,
         "path_graph": graph_dir,
         "path_coordx5": coord_dir,
-        "feat_format": "npy",
+        "feat_format": feat_format,
         "data_split_path": osp.join(root, "split-fold{}.npz"),
         "split_paths": split_paths,
         "pids": pids,

@@ -197,6 +197,7 @@ class DualTransHS(nn.Module):
     num_layers: int = 1
     emb_ksize: int = 1
     emb_backbone: str = "avgpool"   # 'avgpool' | 'gapool'
+    tra_backbone: str = "Transformer"  # 'Transformer' | 'Identity'
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
@@ -216,7 +217,11 @@ class DualTransHS(nn.Module):
             pe = compute_pe(extra, ndim=dim_hid, dtype=emb.dtype)
             emb = emb + pe * rmask[..., None].astype(emb.dtype)
         h = emb
-        for i in range(self.num_layers):
+        # 'Identity' skips the encoder entirely (reference
+        # model/backbone_utils.py:113-127 make_transformer_layer)
+        assert self.tra_backbone in ("Transformer", "Identity")
+        n_layers = self.num_layers if self.tra_backbone == "Transformer" else 0
+        for i in range(n_layers):
             h = TransformerEncoderLayer(dim_hid, self.nhead, dim_hid,
                                         dropout=self.dropout, dense_init=self.dense_init,
                                         use_pallas=self.use_pallas,
@@ -228,12 +233,14 @@ class DualTransHS(nn.Module):
 
 def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XAVIER,
                   use_pallas: bool = True, num_graph_layers: int = 1,
-                  use_fused_embed: bool = False) -> nn.Module:
+                  use_fused_embed: bool = False,
+                  tra_backbone: str = "Transformer") -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]
     if mode == "patch":
         return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
+                           tra_backbone=tra_backbone,
                            dropout=0.25, dense_init=dense_init,
                            use_pallas=use_pallas, use_fused_embed=use_fused_embed)
     if mode == "cluster":

@@ -63,7 +63,8 @@ class BaselineHandler:
         backbone = load_backbone(self.bcb, backbone_dims, dense_init=dense_init,
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
-                                 use_fused_embed=cfg.get("use_fused_embedding", False))
+                                 use_fused_embed=cfg.get("use_fused_embedding", False),
+                                 tra_backbone=cfg.get("tra_backbone", "Transformer"))
         dim_in, dim_out = sparse_str(cfg["pdh_dims"])
         self.model = SurvNet(backbone=backbone, dim_in=dim_in, dim_out=dim_out,
                              hops=cfg.get("mlp_hops", 1),

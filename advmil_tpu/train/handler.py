@@ -58,7 +58,8 @@ class AdvHandler:
         backbone = load_backbone(self.bcb, backbone_dims,
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
-                                 use_fused_embed=cfg.get("use_fused_embedding", False))
+                                 use_fused_embed=cfg.get("use_fused_embedding", False),
+                                 tra_backbone=cfg.get("tra_backbone", "Transformer"))
         dim_in, dim_out = sparse_str(cfg["gen_dims"])
         args_noise = SimpleNamespace(**sparse_key(cfg, prefixes="gen_noi"))
         noise_flags = sparse_str(args_noise.noise)

@@ -1,0 +1,119 @@
+"""Run the UNMODIFIED PyTorch reference (/root/reference) on CPU for the
+end-to-end parity harness (BASELINE.md north star: 5-fold val C-index within
+0.005 of the reference).
+
+The reference assumes a CUDA device and wandb/torch_geometric installs
+(reference model/model_handler.py:11,40,90-91); neither exists here, so this
+driver installs inert stand-ins BEFORE importing it:
+  * wandb / torch_geometric / torch_sparse module stubs (graph classes raise
+    if actually instantiated — parity runs use patch/abmil/cluster modes),
+  * torch.cuda.set_device/empty_cache -> no-ops; Tensor.cuda/Module.cuda ->
+    identity.
+No reference code is copied or edited; it runs as-is from the read-only mount.
+
+Usage: python scripts/_run_reference.py --config cfg.yaml --handler adv|base
+Prints one line: PARITY_METRICS_JSON=<json>.
+"""
+import argparse
+import json
+import sys
+import types
+
+
+def install_stubs():
+    import numpy as np
+
+    # numpy 2.0 removed the np.Inf alias the reference uses
+    # (reference utils/func.py EarlyStopping)
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+
+    # ---- wandb ----
+    wandb = types.ModuleType("wandb")
+    wandb.init = lambda **kw: types.SimpleNamespace(
+        log=lambda *a, **k: None, finish=lambda *a, **k: None)
+    wandb.log = lambda *a, **k: None
+    wandb.finish = lambda *a, **k: None
+    sys.modules["wandb"] = wandb
+
+    # ---- torch_geometric / torch_sparse (patch/cluster/abmil never hit them) ----
+    def _unavailable(*a, **k):
+        raise RuntimeError("torch_geometric stub: graph mode is not available "
+                           "in the CPU parity harness")
+
+    tg = types.ModuleType("torch_geometric")
+    tg_nn = types.ModuleType("torch_geometric.nn")
+    tg_nn.GENConv = _unavailable
+    tg_nn.DeepGCNLayer = _unavailable
+    tg_data = types.ModuleType("torch_geometric.data")
+
+    class _Data:  # only referenced for isinstance checks / subclassing
+        def __init__(self, *a, **k):
+            _unavailable()
+
+    class _Batch(_Data):
+        pass
+
+    tg_data.Data = _Data
+    tg_data.Batch = _Batch
+    tg.nn = tg_nn
+    tg.data = tg_data
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.nn"] = tg_nn
+    sys.modules["torch_geometric.data"] = tg_data
+
+    ts = types.ModuleType("torch_sparse")
+    ts.SparseTensor = _Data
+    ts.cat = _unavailable
+    sys.modules["torch_sparse"] = ts
+
+    # ---- CPU-ify torch ----
+    import torch
+    torch.cuda.set_device = lambda *a, **k: None
+    torch.cuda.empty_cache = lambda *a, **k: None
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # ---- torch 1.9 -> 2.x API drift shims (reference README.md:20) ----
+    import inspect
+
+    from torch.optim import lr_scheduler
+    if "verbose" not in inspect.signature(
+            lr_scheduler.ReduceLROnPlateau.__init__).parameters:
+        _Orig = lr_scheduler.ReduceLROnPlateau
+
+        class _ReduceLROnPlateau(_Orig):
+            def __init__(self, *a, verbose=False, **k):
+                super().__init__(*a, **k)
+
+        lr_scheduler.ReduceLROnPlateau = _ReduceLROnPlateau
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--handler", default="adv", choices=["adv", "base"])
+    ap.add_argument("--reference", default="/root/reference")
+    args = ap.parse_args()
+
+    import yaml
+    with open(args.config) as f:
+        cfg = yaml.load(f, Loader=yaml.FullLoader)
+
+    install_stubs()
+    sys.path.insert(0, args.reference)
+    if args.handler == "adv":
+        from model.model_handler import MyHandler as Handler
+    else:
+        from model.baseline_handler import BaselineHandler as Handler
+
+    handler = Handler(cfg)
+    if cfg.get("test"):
+        metrics = handler.exec_test()
+    else:
+        metrics = handler.exec()
+    print("PARITY_METRICS_JSON=" + json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

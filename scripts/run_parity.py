@@ -1,0 +1,289 @@
+"""End-to-end accuracy parity harness: train the UNMODIFIED PyTorch reference
+and this framework on the SAME synthetic dataset + split files, and compare
+final val/test C-index over k folds (BASELINE.md north star: 5-fold val
+C-index within 0.005).
+
+Both sides consume identical on-disk artifacts (reference-format .pt feature
+files, label csv, split npz). The reference runs eagerly on CPU via
+scripts/_run_reference.py (wandb/torch_geometric stubs, cuda no-ops); our
+framework runs through its normal CLI with ADVMIL_FORCE_CPU=1.
+
+Usage:
+  python scripts/run_parity.py [--folds 5] [--workdir /tmp/parity]
+                               [--tasks adv_esat base_nll_abmil]
+Writes PARITY.md and PARITY.json at the repo root.
+"""
+import argparse
+import ast
+import json
+import os
+import os.path as osp
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+import yaml
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+REF_CFG = "/root/reference/config/cfg_nlst.yaml"
+
+
+def build_dataset(workdir: str, folds: int):
+    sys.path.insert(0, REPO)
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    return make_synthetic_dataset(
+        osp.join(workdir, "data"), n_patients=160, dim=128, min_regions=2,
+        max_regions=16, event_frac=0.7, seed=7, n_folds=folds,
+        feat_format="pt", time_noise=2.0)
+
+
+def common_overrides(paths: dict, fold: int, run_dir: str) -> dict:
+    return {
+        "seed": 42,
+        "cuda_id": 0,
+        "dataset": "synthetic",
+        "wandb_dir": run_dir,
+        "wandb_prj": "parity",
+        "save_path": run_dir,
+        "path_patch": paths["path_patch"],
+        "path_graph": paths["path_graph"],
+        "path_cluster": paths["path_cluster"],
+        "path_coordx5": None,
+        "path_label": paths["path_label"],
+        "feat_format": "pt",
+        "data_split_path": paths["data_split_path"],
+        "data_split_seed": fold,
+        "save_prediction": False,
+        "train_sampling": None,
+        "num_workers": 0,
+        "es_verbose": False,
+        "log_plot": False,
+        "test": False,
+        "semi_training": False,
+    }
+
+
+def adv_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
+    with open(REF_CFG) as f:
+        cfg = yaml.load(f, Loader=yaml.FullLoader)
+    cfg.update(common_overrides(paths, fold, run_dir))
+    cfg.update({
+        "task": "cont_gansurv",
+        "time_format": "ratio",
+        "bcb_mode": "patch",
+        "bcb_dims": "128-64-64",
+        "gen_dims": "64-1",
+        "disc_netx_in_dim": 128,
+        "disc_netx_out_dim": 64,
+        "disc_nety_hid_dims": "32-64",
+        "opt_netG_lr": 0.0003,
+        "opt_netD_lr": 0.0003,
+        "epochs": epochs,
+        "es_patience": 10,
+        "es_warmup": 2,
+        "es_start_epoch": 0,
+        "times_test_sample": 30,
+    })
+    return cfg
+
+
+def base_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
+    with open(REF_CFG) as f:
+        cfg = yaml.load(f, Loader=yaml.FullLoader)
+    cfg.update(common_overrides(paths, fold, run_dir))
+    # baseline handler key surface (reference model/baseline_handler.py:33-140)
+    for k in list(cfg):
+        if k.startswith(("gen_", "disc_", "opt_netG", "opt_netD",
+                         "loss_gan", "loss_netD")):
+            cfg.pop(k)
+    cfg.update({
+        "task": "surv_nll",
+        "time_format": "quantile",
+        "time_bins": 4,
+        "bcb_mode": "abmil",
+        "bcb_dims": "128-64-64",
+        "pdh_dims": "64-4",
+        "mlp_hops": 1,
+        "mlp_norm": False,
+        "mlp_dropout": 0.25,
+        "loss_use_censored": True,
+        "loss_mle_alpha": 0.0,
+        "loss_regl1_coef": 0.00001,
+        "opt_net": "adam",
+        "opt_net_lr": 0.0003,
+        "opt_net_weight_decay": 0.0005,
+        "epochs": epochs,
+        "es_patience": 10,
+        "es_warmup": 2,
+        "es_start_epoch": 0,
+        "times_test_sample": 1,
+        "test_sampling_times": 1,
+    })
+    return cfg
+
+
+def ours_extra(cfg: dict) -> dict:
+    cfg = dict(cfg)
+    cfg.update({
+        "batch_token_budget": 4096,
+        "bucket_min": 32,
+        "monitor_metrics": "loss",
+    })
+    return cfg
+
+
+def run_reference(cfg: dict, handler: str, run_dir: str) -> dict:
+    os.makedirs(run_dir, exist_ok=True)
+    cfg_path = osp.join(run_dir, "cfg_ref.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    cmd = [sys.executable, osp.join(REPO, "scripts", "_run_reference.py"),
+           "--config", cfg_path, "--handler", handler]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    m = re.search(r"PARITY_METRICS_JSON=(\{.*\})", r.stdout)
+    if r.returncode != 0 or not m:
+        raise RuntimeError(f"reference run failed rc={r.returncode}\n"
+                           f"stdout tail: {r.stdout[-1500:]}\n"
+                           f"stderr tail: {r.stderr[-3000:]}")
+    return json.loads(m.group(1))
+
+
+def run_ours(cfg: dict, handler: str, run_dir: str) -> dict:
+    os.makedirs(run_dir, exist_ok=True)
+    cfg_path = osp.join(run_dir, "cfg_ours.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    env = dict(os.environ, ADVMIL_FORCE_CPU="1")
+    cmd = [sys.executable, osp.join(REPO, "main.py"),
+           "--config", cfg_path, "--handler", handler]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env)
+    m = re.search(r"\[INFO\] Metrics: (\{.*\})", r.stdout)
+    if r.returncode != 0 or not m:
+        raise RuntimeError(f"our run failed rc={r.returncode}\n"
+                           f"stdout tail: {r.stdout[-1500:]}\n"
+                           f"stderr tail: {r.stderr[-3000:]}")
+    return ast.literal_eval(m.group(1))
+
+
+def cindex_of(metrics: dict, split: str) -> float:
+    entry = dict(metrics[split])
+    for k in ("cindex", "c_index"):
+        if k in entry:
+            return float(entry[k])
+    raise KeyError(f"no c-index in {entry}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--folds", type=int, default=5)
+    ap.add_argument("--workdir", default="/tmp/parity")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--tasks", nargs="+",
+                    default=["adv_esat", "base_nll_abmil"])
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    paths = build_dataset(args.workdir, args.folds)
+    task_builders = {
+        "adv_esat": ("adv", adv_cfg),
+        "base_nll_abmil": ("base", base_cfg),
+    }
+
+    results = {}
+    for task in args.tasks:
+        handler, builder = task_builders[task]
+        folds = []
+        for fold in range(args.folds):
+            fold_dir = osp.join(args.workdir, task, f"fold{fold}")
+            t0 = time.time()
+            ref = run_reference(
+                builder(paths, fold, osp.join(fold_dir, "ref"), args.epochs),
+                handler, osp.join(fold_dir, "ref"))
+            t_ref = time.time() - t0
+            t0 = time.time()
+            ours = run_ours(
+                ours_extra(builder(paths, fold, osp.join(fold_dir, "ours"),
+                                   args.epochs)),
+                handler, osp.join(fold_dir, "ours"))
+            t_ours = time.time() - t0
+            row = {
+                "fold": fold,
+                "ref_val": cindex_of(ref, "validation"),
+                "ours_val": cindex_of(ours, "validation"),
+                "ref_test": cindex_of(ref, "test"),
+                "ours_test": cindex_of(ours, "test"),
+                "ref_seconds": round(t_ref, 1),
+                "ours_seconds": round(t_ours, 1),
+            }
+            folds.append(row)
+            print(f"[parity] {task} fold {fold}: "
+                  f"val ref={row['ref_val']:.4f} ours={row['ours_val']:.4f} "
+                  f"test ref={row['ref_test']:.4f} ours={row['ours_test']:.4f} "
+                  f"({t_ref:.0f}s ref / {t_ours:.0f}s ours)", flush=True)
+        rv = np.array([r["ref_val"] for r in folds])
+        ov = np.array([r["ours_val"] for r in folds])
+        rt = np.array([r["ref_test"] for r in folds])
+        ot = np.array([r["ours_test"] for r in folds])
+        results[task] = {
+            "folds": folds,
+            "ref_val_mean": float(rv.mean()), "ref_val_std": float(rv.std()),
+            "ours_val_mean": float(ov.mean()), "ours_val_std": float(ov.std()),
+            "ref_test_mean": float(rt.mean()), "ref_test_std": float(rt.std()),
+            "ours_test_mean": float(ot.mean()), "ours_test_std": float(ot.std()),
+            "delta_val_mean": float(abs(rv.mean() - ov.mean())),
+            "delta_test_mean": float(abs(rt.mean() - ot.mean())),
+        }
+
+    with open(osp.join(REPO, "PARITY.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    write_report(results, args)
+    print("[parity] wrote PARITY.md / PARITY.json")
+
+
+def write_report(results: dict, args):
+    lines = [
+        "# PARITY — end-to-end accuracy vs the PyTorch reference",
+        "",
+        "Both sides trained on the SAME synthetic dataset (reference-format "
+        "`.pt` features, shared label csv + split npz; planted survival "
+        f"signal), {args.folds} folds, {args.epochs} max epochs, early "
+        "stopping on val loss, CPU. Reference runs UNMODIFIED from "
+        "`/root/reference` via `scripts/_run_reference.py` (wandb / "
+        "torch_geometric stubs, cuda no-ops); ours runs through `main.py` "
+        "with `ADVMIL_FORCE_CPU=1`.",
+        "",
+        "North star (BASELINE.md): k-fold mean val C-index within 0.005.",
+        "",
+    ]
+    for task, r in results.items():
+        lines += [f"## {task}", "",
+                  "| fold | ref val | ours val | ref test | ours test |",
+                  "|---|---|---|---|---|"]
+        for row in r["folds"]:
+            lines.append(
+                f"| {row['fold']} | {row['ref_val']:.4f} | "
+                f"{row['ours_val']:.4f} | {row['ref_test']:.4f} | "
+                f"{row['ours_test']:.4f} |")
+        ok_val = r["delta_val_mean"] <= 0.005
+        lines += [
+            "",
+            f"- val mean±std: ref {r['ref_val_mean']:.4f}±{r['ref_val_std']:.4f}"
+            f" vs ours {r['ours_val_mean']:.4f}±{r['ours_val_std']:.4f}"
+            f" → |Δmean| = {r['delta_val_mean']:.4f}"
+            f" {'✅ within 0.005' if ok_val else '❌ outside 0.005'}",
+            f"- test mean±std: ref {r['ref_test_mean']:.4f}±{r['ref_test_std']:.4f}"
+            f" vs ours {r['ours_test_mean']:.4f}±{r['ours_test_std']:.4f}"
+            f" → |Δmean| = {r['delta_test_mean']:.4f}",
+            "",
+        ]
+    lines += ["Raw numbers: `PARITY.json`. Reproduce: "
+              f"`python scripts/run_parity.py --folds {args.folds} "
+              f"--epochs {args.epochs}`.", ""]
+    with open(osp.join(REPO, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

