@@ -24,6 +24,10 @@ TPU_DEFAULTS = {
     "bucket_min": 256,             # smallest bag bucket (multiple of 16)
     "dp_devices": 1,               # data-parallel device count
     "inst_devices": 1,             # instance(sequence)-parallel device count
+    # multi-host (DCN) settings — parallel/dist.py; all-None = single process
+    "dist_coordinator": None,      # "host:port" of process 0
+    "dist_num_processes": None,    # total process count
+    "dist_process_id": None,       # this process's rank
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean

@@ -55,6 +55,10 @@ def get_args():
 if __name__ == "__main__":
     args = get_args()
     config = get_config(args["config"])
+    # multi-host (DCN) wiring must precede any backend use; a no-op unless
+    # dist_* config keys / ADVMIL_* env vars request multiple processes
+    from advmil_tpu.parallel.dist import maybe_initialize
+    maybe_initialize(config)
     print_config(config)
     if args["handler"] == "adv":
         from advmil_tpu.train.handler import AdvHandler as handler_cls

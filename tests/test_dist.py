@@ -1,0 +1,77 @@
+"""Multi-host initialization test: two REAL processes on the CPU backend,
+wired through jax.distributed via advmil_tpu.parallel.dist, performing a
+cross-process reduction over a global mesh (SURVEY.md §2.10 'communication
+backend' row)."""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = textwrap.dedent("""
+    import sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    sys.path.insert(0, {repo!r})
+    from advmil_tpu.parallel.dist import (maybe_initialize, global_mesh,
+                                          make_global_batch,
+                                          process_local_slice)
+    assert maybe_initialize() is True
+    assert jax.process_count() == 2
+    mesh = global_mesh()
+    assert jax.device_count() == 2
+    sl = process_local_slice(4)
+    full = np.arange(8, dtype=np.float32).reshape(4, 2)
+    batch = make_global_batch({{"x": full[sl]}}, mesh)
+    import jax.numpy as jnp
+    out = float(jax.jit(jnp.sum)(batch["x"]))  # cross-process reduction
+    assert out == 28.0, out
+    print(f"RANK{{jax.process_index()}}_OK", flush=True)
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cpu_mesh(tmp_path):
+    script = tmp_path / "child.py"
+    script.write_text(CHILD.format(repo=REPO))
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "ADVMIL_COORDINATOR": f"127.0.0.1:{port}",
+            "ADVMIL_NUM_PROCESSES": "2",
+            "ADVMIL_PROCESS_ID": str(rank),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        outs.append(out)
+    assert "RANK0_OK" in outs[0]
+    assert "RANK1_OK" in outs[1]
+
+
+def test_single_process_noop():
+    # absent dist settings -> no initialization, plain single-process path
+    from advmil_tpu.parallel.dist import maybe_initialize, process_local_slice
+    import jax
+    if jax.distributed.is_initialized():  # pragma: no cover
+        import pytest
+        pytest.skip("already initialized in this interpreter")
+    assert maybe_initialize({}) is False
+    assert process_local_slice(8) == slice(0, 8)
