@@ -340,22 +340,30 @@ class BucketBatcher:
                 cid[j, :n] = it["cluster_id"]
             extra["cluster_id"] = cid
         elif self.ds.mode == "graph":
-            Eb = bucket_n * self.edges_per_node
-            ei = np.zeros((bb, Eb, 2), np.int32)
-            em = np.zeros((bb, Eb), np.float32)
+            # node-bucketed DENSE edge layout: per destination node, up to
+            # `edges_per_node` incoming source indices. kNN graphs have a
+            # bounded in-degree, so this is lossless for tool-built graphs;
+            # the dense table lets the GNN aggregate with a masked softmax
+            # instead of scatters (ops/segment.knn_edge_softmax_aggregate).
+            epn = self.edges_per_node
+            esrc = np.zeros((bb, bucket_n, epn), np.int32)
+            em = np.zeros((bb, bucket_n, epn), np.float32)
             for j, it in enumerate(items):
-                e = it["edge_index"]  # [2, E] rows (dst, src)
-                if e.shape[1] > Eb and not self._warned_edge_truncation:
+                e = it["edge_index"]  # [2, E] rows (dst, src), dst-sorted
+                dst, src = e[0], e[1]
+                # slot of each edge within its dst group (dst is sorted)
+                first = np.searchsorted(dst, dst, side="left")
+                pos = np.arange(dst.shape[0]) - first
+                keep = pos < epn
+                dropped = int((~keep).sum())
+                if dropped and not self._warned_edge_truncation:
                     self._warned_edge_truncation = True
-                    print(f"[batcher] WARNING: truncating {e.shape[1] - Eb} of "
-                          f"{e.shape[1]} edges to the {Eb} budget "
-                          f"(raise graph_edges_per_node, currently "
-                          f"{self.edges_per_node})")
-                E = min(e.shape[1], Eb)
-                ei[j, :E, 0] = e[0, :E]
-                ei[j, :E, 1] = e[1, :E]
-                em[j, :E] = 1.0
-            extra["edge_index"] = ei
+                    print(f"[batcher] WARNING: node in-degree exceeds "
+                          f"{epn}; dropping {dropped} edges per bag (raise "
+                          f"graph_edges_per_node)")
+                esrc[j, dst[keep], pos[keep]] = src[keep]
+                em[j, dst[keep], pos[keep]] = 1.0
+            extra["edge_src"] = esrc
             extra["edge_mask"] = em
         elif self.ds.mode == "patch" and "coords" in items[0]:
             # region-level coords: one per 16 patches

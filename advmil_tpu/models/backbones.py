@@ -23,7 +23,7 @@ from .layers import (DenseInit, GatedAttention, GAPool,
                      TransformerEncoderLayer, make_dense, make_embedding_layer,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
-from ..ops.segment import segment_softmax_aggregate
+from ..ops.segment import knn_edge_softmax_aggregate
 from ..ops.pe import compute_pe
 
 
@@ -94,14 +94,13 @@ class GENConv(nn.Module):
     dense_init: str = DenseInit.XAVIER
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_mask, *, deterministic: bool):
-        # x: [N, C]; edge_index: [E, 2] rows (dst, src); edge_mask: [E]
+    def __call__(self, x, edge_src, edge_mask, *, deterministic: bool):
+        # x: [N, C]; edge_src: [N, epn] source node per incoming edge slot;
+        # edge_mask: [N, epn] 1 = real edge. The dense fixed-degree layout
+        # avoids scatters entirely (kNN in-degree is bounded by epn).
         t = self.param("t", nn.initializers.ones, (1,))
-        N = x.shape[0]
-        src = edge_index[:, 1]
-        dst = edge_index[:, 0]
-        msg = nn.relu(x[src]) + self.eps                # [E, C]
-        aggr = segment_softmax_aggregate(msg, dst, edge_mask, N, t[0])
+        msg = nn.relu(x)[edge_src] + self.eps           # [N, epn, C] gather
+        aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
         h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
@@ -143,8 +142,8 @@ class PatchGCN(nn.Module):
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
         dim_in, dim_hid, dim_out = self.dims
-        edge_index = extra["edge_index"]                 # [B, E, 2]
-        edge_mask = extra["edge_mask"]                   # [B, E]
+        edge_index = extra["edge_src"]                   # [B, N, epn]
+        edge_mask = extra["edge_mask"]                   # [B, N, epn]
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)

@@ -50,3 +50,31 @@ def segment_mean(values: jnp.ndarray, seg_ids: jnp.ndarray, mask: jnp.ndarray,
     count = jax.ops.segment_sum(mask.astype(values.dtype), seg,
                                 num_segments=num_segments + 1)
     return (total / jnp.maximum(count, 1.0)[:, None])[:num_segments]
+
+
+def knn_edge_softmax_aggregate(messages: jnp.ndarray, edge_mask: jnp.ndarray,
+                               t: jnp.ndarray) -> jnp.ndarray:
+    """Dense fixed-degree variant of segment softmax aggregation.
+
+    kNN graphs have a bounded (and, from the offline tool, exact) in-degree:
+    every node owns at most `epn` incoming edges. Laying edges out as a dense
+    [N, epn] table turns the three scatter-backed segment reductions into a
+    masked softmax over axis 1 — no scatters at all, which collapses both
+    XLA compile time and runtime on TPU (scatter lowers to serialized updates;
+    VERDICT r1 #5).
+
+    messages: [N, epn, C] gathered source messages per destination node;
+    edge_mask: [N, epn] 1 = real edge; t: scalar temperature.
+    Nodes with no incoming edges aggregate to zeros (matching
+    segment_softmax_aggregate).
+    """
+    mb = edge_mask.astype(bool)[..., None]
+    scaled = messages * t
+    neg = jnp.asarray(-jnp.inf, scaled.dtype)
+    masked = jnp.where(mb, scaled, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)          # [N, 1, C]
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    ex = jnp.exp(scaled - m) * mb.astype(messages.dtype)
+    denom = jnp.sum(ex, axis=1, keepdims=True)
+    alpha = ex / jnp.maximum(denom, 1e-16)
+    return jnp.sum(alpha * messages, axis=1)            # [N, C]

@@ -42,9 +42,8 @@ def backbone_stats(mode: str, dims, n_patches: int, batch: int = 1) -> dict:
     if mode == "cluster":
         extra = jnp.zeros((batch, n), jnp.int32)
     elif mode == "graph":
-        e = n * 8
-        extra = {"edge_index": jnp.zeros((batch, e, 2), jnp.int32),
-                 "edge_mask": jnp.ones((batch, e), jnp.float32)}
+        extra = {"edge_src": jnp.zeros((batch, n, 8), jnp.int32),
+                 "edge_mask": jnp.ones((batch, n, 8), jnp.float32)}
     else:
         extra = None
     key = jax.random.PRNGKey(0)

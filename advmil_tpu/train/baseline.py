@@ -81,8 +81,9 @@ class BaselineHandler:
         if self.bcb == "cluster":
             extra = jnp.zeros((1, dummy_n), jnp.int32)
         elif self.bcb == "graph":
-            extra = {"edge_index": jnp.zeros((1, dummy_n, 2), jnp.int32),
-                     "edge_mask": jnp.ones((1, dummy_n), jnp.float32)}
+            epn = int(cfg.get("graph_edges_per_node", 9))
+            extra = {"edge_src": jnp.zeros((1, dummy_n, epn), jnp.int32),
+                     "edge_mask": jnp.ones((1, dummy_n, epn), jnp.float32)}
         else:
             extra = None
         self.params = self.model.init({"params": k1, "dropout": k1},

@@ -217,8 +217,9 @@ class AdvHandler:
         if self.bcb == "cluster":
             extra = jnp.zeros((1, n), jnp.int32)
         elif self.bcb == "graph":
-            extra = {"edge_index": jnp.zeros((1, n, 2), jnp.int32),
-                     "edge_mask": jnp.ones((1, n), jnp.float32)}
+            epn = int(self.cfg.get("graph_edges_per_node", 9))
+            extra = {"edge_src": jnp.zeros((1, n, epn), jnp.int32),
+                     "edge_mask": jnp.ones((1, n, epn), jnp.float32)}
         else:
             extra = None
         return {"feats": feats, "mask": mask, "extra": extra}

@@ -41,7 +41,7 @@ def _gen_extra(batch: dict, bcb_mode: str):
     if bcb_mode == "cluster":
         return batch["cluster_id"]
     if bcb_mode == "graph":
-        return {"edge_index": batch["edge_index"], "edge_mask": batch["edge_mask"]}
+        return {"edge_src": batch["edge_src"], "edge_mask": batch["edge_mask"]}
     if bcb_mode == "patch":
         return batch.get("coords")  # None unless coords supplied
     return None

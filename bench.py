@@ -2,45 +2,51 @@
 
 Workload mirrors the reference's documented scale (reference
 model_stats.py:100-103: patient 128599 has 3360 patches at 20x -> 210 regions
-after the 16x avg-pool): ESAT/DualTrans generator (1024-384-384) + RLIP
-projection discriminator, full adversarial D+G update per step, bf16 compute
-(f32 params/losses), B=32 padded bags per fused step.
+after the 16x avg-pool). Each mode runs the FULL adversarial D+G update per
+step, bf16 compute (f32 params/losses), padded batches.
+
+Coverage (VERDICT r1 #4): one JSON line per backbone mode (patch/ESAT,
+abmil, cluster, graph) plus a mixed-bucket ESAT run over three bucket shapes
+(the realistic ragged workload), each with an `mfu` field (compiled-cost
+FLOPs / time / chip peak) and the measured compile seconds per shape.
 
 Timing is the MARGINAL per-step cost between a short and a long chained run,
 each terminated by a host fetch of an updated parameter leaf — robust against
 async-dispatch runtimes where block_until_ready can return early.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The LAST line printed is the driver headline:
+{"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md). We
-anchor against a documented estimate of the PyTorch reference's training rate
-on its own 2xV100 hardware: batch_size=1 eager loop, ~3 G forwards + 3 D
-forwards + 2 backwards per bag at N~3360 => ~100 bags/sec is a generous upper
-estimate for the eager B=1 pipeline (kernel-launch bound). This constant is an
-ESTIMATE to be replaced by a measured anchor when GPU hardware is available.
+vs_baseline anchor (VERDICT r1 #8): the reference publishes no throughput
+numbers (BASELINE.md) and its 2xV100 hardware is unavailable here, so the
+ratio is against a documented ESTIMATE of the reference's eager B=1 pipeline
+on its own hardware (~100 bags/sec, kernel-launch bound); every line carries
+`"anchor": "estimate"` to say so. For a MEASURED (much weaker, CPU) reference
+anchor see scripts/bench_reference_cpu.py and BENCHNOTES.md.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 REF_2XV100_BAGS_PER_SEC_ESTIMATE = 100.0
+ANCHOR = "estimate"
 
 BAG_N = 3392          # ~reference patient scale, multiple of 16
+MIXED_SHAPES = [(1024, 64), (2048, 48), (3392, 32)]  # ragged bucket mix
 FEAT_DIM = 1024
-BATCH = 32
 CHAIN_SHORT = 5
 CHAIN_LONG = 25
+# bf16 peak of one TPU v5e chip; override for other chips
+PEAK_FLOPS = float(os.environ.get("ADVMIL_PEAK_TFLOPS", "197")) * 1e12
 
 
-def main():
+def build_step(mode: str, batch_n: int, batch_b: int):
+    """Models + jitted adversarial step + one padded batch for `mode`."""
     import jax
     import jax.numpy as jnp
     import optax
-    from advmil_tpu.config import enable_compilation_cache
-    enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
-    from advmil_tpu.models.layers import set_compute_dtype
-    set_compute_dtype("bf16")
     from advmil_tpu.models.backbones import load_backbone
     from advmil_tpu.models.gan import Generator, PrjDiscriminator
     from advmil_tpu.train.steps import (AdvTrainState, make_adv_train_step,
@@ -48,64 +54,180 @@ def main():
     from advmil_tpu.train.optim import create_optimizer
 
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(BATCH, BAG_N, FEAT_DIM)), jnp.bfloat16)
-    mask = jnp.ones((BATCH, BAG_N), jnp.float32)
-    t = jnp.asarray(rng.uniform(0.1, 1.0, size=(BATCH,)), jnp.float32)
-    e = jnp.asarray((rng.uniform(size=BATCH) < 0.65), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(batch_b, batch_n, FEAT_DIM)),
+                        jnp.bfloat16)
+    mask = jnp.ones((batch_b, batch_n), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.1, 1.0, size=(batch_b,)), jnp.float32)
+    e = jnp.asarray((rng.uniform(size=batch_b) < 0.65), jnp.float32)
     batch = {"feats": feats, "mask": mask,
              "label": jnp.stack([t, e], axis=1),
-             "sample_mask": jnp.ones((BATCH,), jnp.float32),
-             "visible": jnp.ones((BATCH,), jnp.float32)}
+             "sample_mask": jnp.ones((batch_b,), jnp.float32),
+             "visible": jnp.ones((batch_b,), jnp.float32)}
+    if mode == "cluster":
+        batch["cluster_id"] = jnp.asarray(
+            rng.integers(0, 8, size=(batch_b, batch_n)), jnp.int32)
+        extra_init = batch["cluster_id"][:1]
+    elif mode == "graph":
+        epn = 8
+        src = rng.integers(0, batch_n, size=(batch_b, batch_n, epn))
+        batch["edge_src"] = jnp.asarray(src, jnp.int32)
+        batch["edge_mask"] = jnp.ones((batch_b, batch_n, epn), jnp.float32)
+        extra_init = {"edge_src": batch["edge_src"][:1],
+                      "edge_mask": batch["edge_mask"][:1]}
+    else:
+        extra_init = None
 
-    backbone = load_backbone("patch", [1024, 384, 384], use_pallas=True)
+    backbone = load_backbone(mode, [FEAT_DIM, 384, 384], use_pallas=True)
     gen = Generator(backbone=backbone, dim_in=384, dim_out=1, noise=(0, 1),
                     hops=1, noise_dist="uniform", norm=False, dropout=0.6,
                     out_scale="sigmoid")
-    disc = PrjDiscriminator(netx_in_dim=1024, netx_out_dim=128, nety_in_dim=1,
-                            nety_hid_dims=(64, 128), prj_path="x",
-                            inner_product="instance", netx_ksize=1,
-                            netx_dropout=0.25)
+    disc = PrjDiscriminator(netx_in_dim=FEAT_DIM, netx_out_dim=128,
+                            nety_in_dim=1, nety_hid_dims=(64, 128),
+                            prj_path="x", inner_product="instance",
+                            netx_ksize=1, netx_dropout=0.25)
     key = jax.random.PRNGKey(0)
+    f1, m1 = feats[:1], mask[:1]
     params_G = gen.init({"params": key, "noise": key, "dropout": key},
-                        feats[:1], mask[:1], None, zero_noise=True,
+                        f1, m1, extra_init, zero_noise=True,
                         deterministic=True)["params"]
-    params_D = disc.init({"params": key, "dropout": key}, feats[:1],
-                         jnp.zeros((1, 1)), mask[:1],
-                         deterministic=True)["params"]
+    params_D = disc.init({"params": key, "dropout": key}, f1,
+                         jnp.zeros((1, 1)), m1, deterministic=True)["params"]
     tx_G = create_optimizer("adam", 8e-5, weight_decay=5e-4, params=params_G)
     tx_D = optax.adam(8e-5)
-    state0 = AdvTrainState(params_G=params_G, params_D=params_D,
-                           opt_G=tx_G.init(params_G), opt_D=tx_D.init(params_D),
-                           rng=key)
+    state = AdvTrainState(params_G=params_G, params_D=params_D,
+                          opt_G=tx_G.init(params_G), opt_D=tx_D.init(params_D),
+                          rng=key)
     cfg = {"loss_recon_alpha": 0.0, "loss_recon_gamma": 0.0,
            "loss_recon_norm": "l1"}
     step = make_adv_train_step(gen, disc, tx_G, tx_D, task="cont_gansurv",
-                               bcb_mode="patch", loss_netD="bce",
+                               bcb_mode=mode, loss_netD="bce",
                                coef_gan=0.004, l1_coef=1e-5, gen_updates=1,
                                nbins=4,
                                sup_loss_fn=make_supervised_loss("cont_gansurv", cfg),
                                donate=False)
+    return step, state, batch
+
+
+def compile_and_flops(step, state, batch):
+    """AOT-compile the step once, returning (compiled, seconds, step FLOPs)."""
+    import jax
+    t0 = time.perf_counter()
+    lowered = jax.jit(step).lower(state, batch)
+    compiled = lowered.compile()
+    secs = time.perf_counter() - t0
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    return compiled, secs, flops
+
+
+def chain_time(run_step, state, batches, n: int) -> float:
+    """Seconds for n chained steps cycling over `batches`, ended by a host
+    fetch of an updated param leaf (axon under-reports block_until_ready)."""
+    import jax
+    import jax.numpy as jnp
+    st = state
+    t0 = time.perf_counter()
+    for i in range(n):
+        st, metrics, _ = run_step(st, batches[i % len(batches)])
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(st.params_G)[0]))
+    return time.perf_counter() - t0
+
+
+def bench_mode(mode: str, batch_n: int, batch_b: int) -> dict:
+    step, state, batch = build_step(mode, batch_n, batch_b)
+    compiled, compile_s, flops = compile_and_flops(step, state, batch)
+
+    def run(st, b):
+        return compiled(st, b)
+
+    chain_time(run, state, [batch], 2)  # warmup
+    d_short = chain_time(run, state, [batch], CHAIN_SHORT)
+    d_long = chain_time(run, state, [batch], CHAIN_LONG)
+    per_step = (d_long - d_short) / (CHAIN_LONG - CHAIN_SHORT)
+    bags = batch_b / per_step
+    return {
+        "metric": f"gansurv_{mode}_train_throughput",
+        "value": round(bags, 2),
+        "unit": "bags/sec/chip",
+        "vs_baseline": round(bags / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
+        "anchor": ANCHOR,
+        "batch": batch_b,
+        "bag_n": batch_n,
+        "mfu": round(flops / per_step / PEAK_FLOPS, 4),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def bench_mixed_buckets() -> dict:
+    """Ragged workload: three ESAT bucket shapes interleaved (the shape mix a
+    real epoch sees), aggregate bags/sec including shape-switch overheads."""
+    shapes = MIXED_SHAPES
+    compiled_steps, batches, flops_per = [], [], []
+    state = None
+    compile_total = 0.0
+    for n, b in shapes:
+        step, st, batch = build_step("patch", n, b)
+        compiled, secs, flops = compile_and_flops(step, st, batch)
+        compile_total += secs
+        state = st  # same model/optimizer config across shapes
+        compiled_steps.append(compiled)
+        batches.append(batch)
+        flops_per.append(flops)
+
+    def run(st, i):
+        return compiled_steps[i % 3](st, batches[i % 3])
 
     def chain(n):
-        st = state0
+        import jax
+        import jax.numpy as jnp
+        st = state
         t0 = time.perf_counter()
-        for _ in range(n):
-            st, metrics, _ = step(st, batch)
-        # host fetch of an updated param leaf forces full materialization
+        for i in range(n):
+            st, metrics, _ = run(st, i)
         _ = float(jnp.sum(jax.tree_util.tree_leaves(st.params_G)[0]))
         return time.perf_counter() - t0
 
-    chain(2)  # warmup / compile
-    d_short = chain(CHAIN_SHORT)
-    d_long = chain(CHAIN_LONG)
-    per_step = (d_long - d_short) / (CHAIN_LONG - CHAIN_SHORT)
-    bags_per_sec = BATCH / per_step
-    print(json.dumps({
-        "metric": "gansurv_esat_train_throughput",
-        "value": round(bags_per_sec, 2),
+    chain(3)  # warm all shapes
+    d_short = chain(6)
+    d_long = chain(24)
+    steps = 24 - 6
+    per_cycle3 = (d_long - d_short) / (steps / 3)
+    bags_per_cycle = sum(b for _, b in shapes)
+    bags = bags_per_cycle / per_cycle3
+    flops_cycle = sum(flops_per)
+    return {
+        "metric": "gansurv_esat_mixed_buckets_throughput",
+        "value": round(bags, 2),
         "unit": "bags/sec/chip",
-        "vs_baseline": round(bags_per_sec / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
-    }))
+        "vs_baseline": round(bags / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
+        "anchor": ANCHOR,
+        "buckets": [list(s) for s in shapes],
+        "mfu": round(flops_cycle / per_cycle3 / PEAK_FLOPS, 4),
+        "compile_s_total": round(compile_total, 1),
+    }
+
+
+def main():
+    from advmil_tpu.config import enable_compilation_cache
+    enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
+    from advmil_tpu.models.layers import set_compute_dtype
+    set_compute_dtype("bf16")
+
+    results = []
+    results.append(bench_mode("abmil", BAG_N, 32))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_mode("cluster", BAG_N, 32))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_mode("graph", BAG_N, 8))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_mixed_buckets())
+    print(json.dumps(results[-1]), flush=True)
+    headline = bench_mode("patch", BAG_N, 32)
+    headline["metric"] = "gansurv_esat_train_throughput"
+    # headline LAST: the driver parses the final JSON line
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

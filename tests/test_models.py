@@ -85,34 +85,36 @@ class TestDualTransHS:
 
 
 class TestPatchGCN:
-    def _graph(self, n):
-        dst, src = [], []
+    def _graph(self, n, epn=2):
+        # chain graph in the dense node-bucketed layout: node a's incoming
+        # edges come from a-1 and a+1 (where they exist)
+        esrc = np.zeros((1, n, epn), np.int32)
+        em = np.zeros((1, n, epn), np.float32)
         for a in range(n):
+            slot = 0
             for b in (a - 1, a + 1):
                 if 0 <= b < n:
-                    dst.append(a)
-                    src.append(b)
-        ei = np.zeros((1, len(dst), 2), np.int32)
-        ei[0, :, 0] = dst
-        ei[0, :, 1] = src
-        return jnp.asarray(ei), jnp.ones((1, len(dst)), jnp.float32)
+                    esrc[0, a, slot] = b
+                    em[0, a, slot] = 1.0
+                    slot += 1
+        return jnp.asarray(esrc), jnp.asarray(em)
 
     def test_padding_invariance(self):
         model = PatchGCN(DIMS, num_layers=1)
         n = 24
         x = _bag(n)
         mask = jnp.ones((1, n), jnp.float32)
-        ei, em = self._graph(n)
-        extra = {"edge_index": ei, "edge_mask": em}
+        esrc, em = self._graph(n)
+        extra = {"edge_src": esrc, "edge_mask": em}
         variables, h = _init_and_apply(model, x, mask, extra)
         assert h.shape == (1, 32)
-        # pad nodes and edges
+        # pad nodes and edge tables
         xp = _pad_bag(x, 48)
         mp = jnp.pad(mask, ((0, 0), (0, 24)))
-        eip = jnp.pad(ei, ((0, 0), (0, 10), (0, 0)))
-        emp = jnp.pad(em, ((0, 0), (0, 10)))
+        eip = jnp.pad(esrc, ((0, 0), (0, 24), (0, 0)))
+        emp = jnp.pad(em, ((0, 0), (0, 24), (0, 0)))
         hp = model.apply(variables, xp, mp,
-                         {"edge_index": eip, "edge_mask": emp},
+                         {"edge_src": eip, "edge_mask": emp},
                          deterministic=True)
         np.testing.assert_allclose(np.asarray(hp), np.asarray(h), atol=1e-5)
 
@@ -121,10 +123,34 @@ class TestPatchGCN:
         n = 16
         x = _bag(n)
         mask = jnp.ones((1, n), jnp.float32)
-        ei, em = self._graph(n)
+        esrc, em = self._graph(n)
         _, h = _init_and_apply(model, x, mask,
-                               {"edge_index": ei, "edge_mask": em})
+                               {"edge_src": esrc, "edge_mask": em})
         assert h.shape == (1, 32)
+
+    def test_dense_aggregate_matches_segment_ops(self):
+        # the dense fixed-degree aggregation must equal the scatter-based
+        # segment softmax on the same graph (compile-latency rework, r1 #5)
+        from advmil_tpu.ops.segment import (knn_edge_softmax_aggregate,
+                                            segment_softmax_aggregate)
+        rng = np.random.default_rng(0)
+        n, epn, c = 12, 3, 5
+        esrc = rng.integers(0, n, size=(n, epn)).astype(np.int32)
+        em = (rng.uniform(size=(n, epn)) < 0.8).astype(np.float32)
+        msg_tab = rng.normal(size=(n, epn, c)).astype(np.float32)
+        t = np.float32(1.7)
+        dense = knn_edge_softmax_aggregate(jnp.asarray(msg_tab),
+                                           jnp.asarray(em), t)
+        # same edges as a flat dst-sorted list
+        dst = np.repeat(np.arange(n), epn)
+        keep = em.reshape(-1) > 0
+        flat_msg = msg_tab.reshape(-1, c)
+        seg = segment_softmax_aggregate(jnp.asarray(flat_msg),
+                                        jnp.asarray(dst),
+                                        jnp.asarray(em.reshape(-1)), n, t)
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(seg),
+                                   rtol=1e-5, atol=1e-6)
+        assert keep.sum() > 0
 
 
 class TestGAN:
