@@ -180,6 +180,8 @@ def main():
     ap.add_argument("--folds", type=int, default=5)
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42],
+                    help="init/run seeds; folds x seeds runs per side")
     ap.add_argument("--tasks", nargs="+",
                     default=["adv_esat", "base_nll_abmil"])
     args = ap.parse_args()
@@ -194,46 +196,57 @@ def main():
     results = {}
     for task in args.tasks:
         handler, builder = task_builders[task]
-        folds = []
+        rows = []
         for fold in range(args.folds):
-            fold_dir = osp.join(args.workdir, task, f"fold{fold}")
-            t0 = time.time()
-            ref = run_reference(
-                builder(paths, fold, osp.join(fold_dir, "ref"), args.epochs),
-                handler, osp.join(fold_dir, "ref"))
-            t_ref = time.time() - t0
-            t0 = time.time()
-            ours = run_ours(
-                ours_extra(builder(paths, fold, osp.join(fold_dir, "ours"),
-                                   args.epochs)),
-                handler, osp.join(fold_dir, "ours"))
-            t_ours = time.time() - t0
-            row = {
-                "fold": fold,
-                "ref_val": cindex_of(ref, "validation"),
-                "ours_val": cindex_of(ours, "validation"),
-                "ref_test": cindex_of(ref, "test"),
-                "ours_test": cindex_of(ours, "test"),
-                "ref_seconds": round(t_ref, 1),
-                "ours_seconds": round(t_ours, 1),
-            }
-            folds.append(row)
-            print(f"[parity] {task} fold {fold}: "
-                  f"val ref={row['ref_val']:.4f} ours={row['ours_val']:.4f} "
-                  f"test ref={row['ref_test']:.4f} ours={row['ours_test']:.4f} "
-                  f"({t_ref:.0f}s ref / {t_ours:.0f}s ours)", flush=True)
-        rv = np.array([r["ref_val"] for r in folds])
-        ov = np.array([r["ours_val"] for r in folds])
-        rt = np.array([r["ref_test"] for r in folds])
-        ot = np.array([r["ours_test"] for r in folds])
+            for seed in args.seeds:
+                run_tag = osp.join(args.workdir, task, f"fold{fold}s{seed}")
+                cfg_ref = builder(paths, fold, osp.join(run_tag, "ref"),
+                                  args.epochs)
+                cfg_ref["seed"] = seed
+                t0 = time.time()
+                ref = run_reference(cfg_ref, handler, osp.join(run_tag, "ref"))
+                t_ref = time.time() - t0
+                cfg_ours = ours_extra(builder(
+                    paths, fold, osp.join(run_tag, "ours"), args.epochs))
+                cfg_ours["seed"] = seed
+                t0 = time.time()
+                ours = run_ours(cfg_ours, handler, osp.join(run_tag, "ours"))
+                t_ours = time.time() - t0
+                row = {
+                    "fold": fold,
+                    "seed": seed,
+                    "ref_val": cindex_of(ref, "validation"),
+                    "ours_val": cindex_of(ours, "validation"),
+                    "ref_test": cindex_of(ref, "test"),
+                    "ours_test": cindex_of(ours, "test"),
+                    "ref_seconds": round(t_ref, 1),
+                    "ours_seconds": round(t_ours, 1),
+                }
+                rows.append(row)
+                print(f"[parity] {task} fold {fold} seed {seed}: "
+                      f"val ref={row['ref_val']:.4f} ours={row['ours_val']:.4f} "
+                      f"test ref={row['ref_test']:.4f} ours={row['ours_test']:.4f} "
+                      f"({t_ref:.0f}s ref / {t_ours:.0f}s ours)", flush=True)
+        rv = np.array([r["ref_val"] for r in rows])
+        ov = np.array([r["ours_val"] for r in rows])
+        rt = np.array([r["ref_test"] for r in rows])
+        ot = np.array([r["ours_test"] for r in rows])
+        dv = ov - rv  # paired per-(fold, seed) deltas
+        n = len(dv)
+        t_stat = (float(dv.mean()) / (float(dv.std(ddof=1)) / np.sqrt(n))
+                  if n > 1 and dv.std(ddof=1) > 0 else float("nan"))
         results[task] = {
-            "folds": folds,
+            "rows": rows,
             "ref_val_mean": float(rv.mean()), "ref_val_std": float(rv.std()),
             "ours_val_mean": float(ov.mean()), "ours_val_std": float(ov.std()),
             "ref_test_mean": float(rt.mean()), "ref_test_std": float(rt.std()),
             "ours_test_mean": float(ot.mean()), "ours_test_std": float(ot.std()),
             "delta_val_mean": float(abs(rv.mean() - ov.mean())),
             "delta_test_mean": float(abs(rt.mean() - ot.mean())),
+            "paired_val_delta_mean": float(dv.mean()),
+            "paired_val_delta_std": float(dv.std(ddof=1)) if n > 1 else 0.0,
+            "paired_val_t": t_stat,
+            "n_runs": n,
         }
 
     with open(osp.join(REPO, "PARITY.json"), "w") as f:
@@ -259,28 +272,33 @@ def write_report(results: dict, args):
     ]
     for task, r in results.items():
         lines += [f"## {task}", "",
-                  "| fold | ref val | ours val | ref test | ours test |",
-                  "|---|---|---|---|---|"]
-        for row in r["folds"]:
+                  "| fold | seed | ref val | ours val | ref test | ours test |",
+                  "|---|---|---|---|---|---|"]
+        for row in r["rows"]:
             lines.append(
-                f"| {row['fold']} | {row['ref_val']:.4f} | "
+                f"| {row['fold']} | {row['seed']} | {row['ref_val']:.4f} | "
                 f"{row['ours_val']:.4f} | {row['ref_test']:.4f} | "
                 f"{row['ours_test']:.4f} |")
         ok_val = r["delta_val_mean"] <= 0.005
         lines += [
             "",
-            f"- val mean±std: ref {r['ref_val_mean']:.4f}±{r['ref_val_std']:.4f}"
+            f"- val mean±std over {r['n_runs']} runs: "
+            f"ref {r['ref_val_mean']:.4f}±{r['ref_val_std']:.4f}"
             f" vs ours {r['ours_val_mean']:.4f}±{r['ours_val_std']:.4f}"
             f" → |Δmean| = {r['delta_val_mean']:.4f}"
             f" {'✅ within 0.005' if ok_val else '❌ outside 0.005'}",
             f"- test mean±std: ref {r['ref_test_mean']:.4f}±{r['ref_test_std']:.4f}"
             f" vs ours {r['ours_test_mean']:.4f}±{r['ours_test_std']:.4f}"
             f" → |Δmean| = {r['delta_test_mean']:.4f}",
+            f"- paired per-run val delta (ours − ref): "
+            f"{r['paired_val_delta_mean']:+.4f} ± {r['paired_val_delta_std']:.4f}"
+            f" (t = {r['paired_val_t']:.2f}, n = {r['n_runs']})",
             "",
         ]
+    seeds = " ".join(str(s) for s in args.seeds)
     lines += ["Raw numbers: `PARITY.json`. Reproduce: "
               f"`python scripts/run_parity.py --folds {args.folds} "
-              f"--epochs {args.epochs}`.", ""]
+              f"--epochs {args.epochs} --seeds {seeds}`.", ""]
     with open(osp.join(REPO, "PARITY.md"), "w") as f:
         f.write("\n".join(lines))
 
