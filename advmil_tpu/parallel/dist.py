@@ -98,3 +98,40 @@ def make_global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
         out[k] = ({kk: put(vv) for kk, vv in v.items()}
                   if isinstance(v, dict) else put(v))
     return out
+
+
+def replicate_global(tree, mesh):
+    """Replicate a host-identical pytree onto every device of a (possibly
+    multi-process) mesh. Each process contributes its local copy, so the
+    values must be built identically on all processes (same seed)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
+
+
+def gather_to_hosts(tree):
+    """Fetch device arrays (including cross-process sharded ones) to EVERY
+    host as numpy. The call is collective: all processes must make it in the
+    same order."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
+def barrier(name: str = "advmil"):
+    """No-op single-process; otherwise block until all processes arrive."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def is_primary() -> bool:
+    import jax
+
+    return jax.process_index() == 0

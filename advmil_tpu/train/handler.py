@@ -161,9 +161,20 @@ class AdvHandler:
         # ---- data / instance parallelism (SURVEY.md §2.10, §5) ----
         self.mesh = None
         self.mesh_2d = False
+        self.multi_host = jax.process_count() > 1
         dp = int(cfg.get("dp_devices", 1) or 1)
         ip = int(cfg.get("inst_devices", 1) or 1)
-        if ip > 1:
+        if self.multi_host:
+            # multi-host DP over every process's devices; DCN/ICI collectives
+            # are inserted by XLA. Batches are assembled per process from
+            # host-local rows (parallel/dist.py).
+            from ..parallel.dist import global_mesh, replicate_global
+            self.mesh = global_mesh()
+            self.state = replicate_global(self.state, self.mesh)
+            print(f"[parallel] multi-host data-parallel: "
+                  f"{jax.process_count()} processes x "
+                  f"{jax.local_device_count()} devices")
+        elif ip > 1:
             from ..parallel.mesh import make_mesh_2d, replicate_state
             self.mesh = make_mesh_2d(dp, ip)
             self.mesh_2d = True
@@ -178,9 +189,12 @@ class AdvHandler:
         self.patient_id = {}
         self.np_rng = np.random.default_rng(cfg["seed"])
         run_name = (self.save_dir.rstrip("/").split("/")[-1])
+        from ..parallel.dist import is_primary
+        self.is_primary = is_primary()
         self.logger = RunLogger(cfg.get("wandb_prj"), run_name, self.save_dir,
-                                config=cfg)
-        print_config(cfg, print_to_path=self.config_path)
+                                config=cfg, enabled=self.is_primary)
+        if self.is_primary:
+            print_config(cfg, print_to_path=self.config_path)
 
     # ------------------------------------------------------------------
     # setup helpers
@@ -225,11 +239,13 @@ class AdvHandler:
         return {"feats": feats, "mask": mask, "extra": extra}
 
     def _batcher(self, dataset) -> BucketBatcher:
+        multiple = (jax.device_count() if self.multi_host
+                    else int(self.cfg.get("dp_devices", 1) or 1))
         b = BucketBatcher(dataset,
                           token_budget=self.cfg["batch_token_budget"],
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
-                          batch_multiple=int(self.cfg.get("dp_devices", 1) or 1),
+                          batch_multiple=multiple,
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
@@ -247,6 +263,13 @@ class AdvHandler:
         dev = {"feats": feats, "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask, "visible": visible}
         dev.update(batch.extra)
+        if self.multi_host:
+            # every process builds the same global batch; ship only the
+            # process-local rows, assemble a global sharded array
+            from ..parallel.dist import make_global_batch, process_local_slice
+            sl = process_local_slice(len(batch.sample_mask))
+            local = {k: np.asarray(v)[sl] for k, v in dev.items()}
+            return make_global_batch(local, self.mesh)
         if self.mesh is not None:
             if self.mesh_2d:
                 from ..parallel.mesh import shard_batch_2d
@@ -467,23 +490,37 @@ class AdvHandler:
                        else self.patient_id["label_visible"])
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
         pending_metrics = []  # keep device arrays; sync ONCE per epoch
+        pending_out = []
+        keeps = []
         for batch in batcher.prefetch(shuffle=True, rng=self.np_rng):
             dev = self._to_device(batch, visible_set)
             self.state, metrics, collect = self.train_step(self.state, dev)
             pending_metrics.append(metrics)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
-            cltor["y_hat"].append((collect["y_hat"], keep))
-            cltor["f_fake"].append((collect["f_fake"], keep))
+            pending_out.append({"y_hat": collect["y_hat"],
+                                "f_fake": collect["f_fake"]})
+            keeps.append(keep)
             cltor["idx"].append(batch.idx[keep])
         # single host sync for the whole epoch's collected outputs + metrics
-        for metrics in jax.device_get(pending_metrics):
+        pending_metrics, pending_out = self._fetch(
+            (pending_metrics, pending_out))
+        for metrics in pending_metrics:
             self.logger.log({f"train_batch/{k}": float(v)
                              for k, v in metrics.items()})
-        for key in ("y_hat", "f_fake"):
-            cltor[key] = [np.asarray(jax.device_get(v))[keep]
-                          for v, keep in cltor[key]]
+        for out, keep in zip(pending_out, keeps):
+            cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
+            cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
+
+    def _fetch(self, tree):
+        """Host-fetch a pytree of device arrays; in multi-host runs the
+        data-sharded leaves are allgathered so every process sees full
+        batches (collective call — same order on all processes)."""
+        if self.multi_host:
+            from ..parallel.dist import gather_to_hosts
+            return gather_to_hosts(tree)
+        return jax.device_get(tree)
 
     # ------------------------------------------------------------------
     # evaluation
@@ -513,6 +550,7 @@ class AdvHandler:
             cltor["avg_y_hat"] = []
             cltor["dist_y_hat"] = []
         pending = []
+        keeps = []
         for batch in batcher.prefetch(shuffle=False):
             rng, sub = jax.random.split(rng)
             dev = self._to_device(batch)
@@ -520,8 +558,10 @@ class AdvHandler:
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
             cltor["idx"].append(batch.idx[keep])
-            pending.append((out, keep))
-        for out, keep in jax.device_get(pending):  # one sync for the pass
+            pending.append(out)
+            keeps.append(keep)
+        pending = self._fetch(pending)  # one sync for the pass
+        for out, keep in zip(pending, keeps):
             cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
             cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
             if n_samples > 1:
@@ -562,6 +602,10 @@ class AdvHandler:
                 "saved — check es_warmup/epochs or test_load_path)")
         _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G)
         _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D)
+        if self.multi_host:
+            from ..parallel.dist import replicate_global
+            pG = replicate_global(pG, self.mesh)
+            pD = replicate_global(pD, self.mesh)
         wandb_group = f"{'bestckpt' if ckpt_type == 'best' else 'lastckpt'}/{group}"
         print_path = add_prefix_to_filename(self.metrics_paths[ckpt_type], group)
         csv_name = f"{group}_{ckpt_type}"
@@ -573,18 +617,18 @@ class AdvHandler:
                                    params_G=pG, params_D=pD)
             ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")
             metrics[k] = [("cindex", ci), ("loss", loss)]
-            if cfg.get("log_plot"):
+            if cfg.get("log_plot") and self.is_primary:
                 from ..utils.func import plot_time_kde
                 fig = plot_time_kde(cltor["y"],
                                     cltor.get("avg_y_hat", cltor["y_hat"]))
                 self.logger.log_image(f"{wandb_group}/{k}/chart", fig)
-            if cfg["save_prediction"]:
+            if cfg["save_prediction"] and self.is_primary:
                 cur_y_hat = cltor.get("avg_y_hat", cltor["y_hat"])
                 dist = cltor.get("dist_y_hat")
                 path = osp.join(self.save_dir, f"{csv_name}_pred_{k}.csv")
                 pids = [ds.pids[int(i)] for i in cltor["idx"]]
                 save_prediction(pids, cltor["y"], cur_y_hat, dist, path)
-        if if_print:
+        if if_print and self.is_primary:
             print_metrics(metrics, print_to_path=print_path)
         return metrics
 
@@ -593,10 +637,13 @@ class AdvHandler:
     # ------------------------------------------------------------------
 
     def save_model(self, epoch, ckpt_type="best", run_name="train"):
-        ckpt_lib.save_checkpoint(self._ckpt_path("G", ckpt_type, run_name),
-                                 epoch, self.state.params_G, self.state.opt_G)
-        ckpt_lib.save_checkpoint(self._ckpt_path("D", ckpt_type, run_name),
-                                 epoch, self.state.params_D, self.state.opt_D)
+        from ..parallel.dist import barrier, is_primary
+        if is_primary():
+            ckpt_lib.save_checkpoint(self._ckpt_path("G", ckpt_type, run_name),
+                                     epoch, self.state.params_G, self.state.opt_G)
+            ckpt_lib.save_checkpoint(self._ckpt_path("D", ckpt_type, run_name),
+                                     epoch, self.state.params_D, self.state.opt_D)
+        barrier("save_model")  # non-primary waits for the files to exist
 
     def resume_model(self, ckpt_type="best", run_name="train"):
         eG, pG, oG = ckpt_lib.restore_checkpoint(

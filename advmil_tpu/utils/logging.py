@@ -15,12 +15,19 @@ import time
 
 class RunLogger:
     def __init__(self, project: str | None, name: str, log_dir: str,
-                 config: dict | None = None, use_wandb: bool | None = None):
+                 config: dict | None = None, use_wandb: bool | None = None,
+                 enabled: bool = True):
+        """enabled=False makes every call a no-op (non-primary processes of a
+        multi-host run must not race on the shared jsonl/wandb sinks)."""
         self.project = project
         self.name = name
         self.log_dir = log_dir
         self._wandb = None
         self._step = 0
+        self.enabled = enabled
+        if not enabled:
+            self._jsonl = None
+            return
         if use_wandb is None:
             use_wandb = os.environ.get("ADVMIL_WANDB", "0") == "1"
         if use_wandb:
@@ -35,6 +42,8 @@ class RunLogger:
         self._jsonl = open(self._jsonl_path, "a")
 
     def log(self, scalars: dict):
+        if not self.enabled:
+            return
         self._step += 1
         if self._wandb is not None:
             self._wandb.log(scalars)
@@ -45,6 +54,8 @@ class RunLogger:
         self._jsonl.flush()
 
     def log_image(self, name: str, figure):
+        if not self.enabled:
+            return
         if self._wandb is not None:
             import wandb
             self._wandb.log({name: wandb.Image(figure)})
@@ -53,6 +64,8 @@ class RunLogger:
             figure.savefig(path)
 
     def finish(self):
+        if not self.enabled:
+            return
         if self._wandb is not None:
             self._wandb.finish()
         self._jsonl.close()

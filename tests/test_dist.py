@@ -75,3 +75,71 @@ def test_single_process_noop():
         pytest.skip("already initialized in this interpreter")
     assert maybe_initialize({}) is False
     assert process_local_slice(8) == slice(0, 8)
+
+
+TRAIN_CHILD = textwrap.dedent("""
+    import os, sys, pathlib, json
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    sys.path.insert(0, {repo!r})
+    from advmil_tpu.parallel.dist import maybe_initialize
+    assert maybe_initialize() is True
+    assert jax.process_count() == 2
+    from tests.test_train_smoke import base_cfg
+    paths = json.loads(os.environ["ADVMIL_TEST_PATHS"])
+    workdir = pathlib.Path(os.environ["ADVMIL_TEST_WORKDIR"])
+    cfg = base_cfg(paths, workdir, bcb_dims="64-32-32", gen_dims="32-1",
+                   disc_netx_in_dim=64, epochs=2, es_warmup=0,
+                   times_test_sample=2, batch_token_budget=512,
+                   bucket_min=32)
+    from advmil_tpu.train.handler import AdvHandler
+    handler = AdvHandler(cfg)
+    assert handler.multi_host
+    metrics = handler.exec()
+    print("METRICS_JSON=" + json.dumps(metrics), flush=True)
+""")
+
+
+def test_two_process_training_end_to_end(tmp_path):
+    # full AdvHandler training across two REAL processes: sharded batches,
+    # cross-process grad psum, allgathered eval, primary-only artifacts
+    import json
+
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    paths = make_synthetic_dataset(str(tmp_path / "data"), n_patients=36,
+                                   dim=64, min_regions=2, max_regions=6,
+                                   seed=1)
+    paths = {k: v for k, v in paths.items() if isinstance(v, str)}
+    script = tmp_path / "train_child.py"
+    script.write_text(TRAIN_CHILD.format(repo=REPO))
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "ADVMIL_COORDINATOR": f"127.0.0.1:{port}",
+            "ADVMIL_NUM_PROCESSES": "2",
+            "ADVMIL_PROCESS_ID": str(rank),
+            "ADVMIL_TEST_PATHS": json.dumps(paths),
+            "ADVMIL_TEST_WORKDIR": str(tmp_path / "run"),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, \
+            f"rank {rank} failed:\nstdout: {out[-1500:]}\nstderr: {err[-3000:]}"
+        outs.append(out)
+    m0 = json.loads(outs[0].split("METRICS_JSON=")[1].splitlines()[0])
+    m1 = json.loads(outs[1].split("METRICS_JSON=")[1].splitlines()[0])
+    assert m0 == m1, f"rank metrics diverged:\n{m0}\n{m1}"
+    assert all(k in m0 for k in ("train", "validation", "test"))
+    # primary-only artifacts exist exactly once
+    run = tmp_path / "run" / "run"
+    assert (run / "train_modelG-best.ckpt").exists()
+    assert (run / "run_scalars.jsonl").exists()
