@@ -142,12 +142,40 @@ class BaselineHandler:
             self.metrics_list = ["c_index", "loss_ple"]
             self.ret_metrics = ["c_index", "loss_ple"]
 
+        # ---- data / instance / multi-host parallelism (mirrors AdvHandler) ----
+        self.mesh = None
+        self.mesh_2d = False
+        self.multi_host = jax.process_count() > 1
+        dp = int(cfg.get("dp_devices", 1) or 1)
+        ip = int(cfg.get("inst_devices", 1) or 1)
+        if self.multi_host:
+            from ..parallel.dist import global_mesh, replicate_global
+            self.mesh = global_mesh()
+            self.state = replicate_global(self.state, self.mesh)
+            print(f"[parallel] multi-host data-parallel: "
+                  f"{jax.process_count()} processes x "
+                  f"{jax.local_device_count()} devices")
+        elif ip > 1:
+            from ..parallel.mesh import make_mesh_2d, replicate_state
+            self.mesh = make_mesh_2d(dp, ip)
+            self.mesh_2d = True
+            self.state = replicate_state(self.state, self.mesh)
+            print(f"[parallel] data x instance parallel over {dp}x{ip} devices")
+        elif dp > 1:
+            from ..parallel.mesh import make_mesh, replicate_state
+            self.mesh = make_mesh(dp)
+            self.state = replicate_state(self.state, self.mesh)
+            print(f"[parallel] data-parallel over {dp} devices")
+
         self.patient_id = {}
         self.np_rng = np.random.default_rng(cfg["seed"])
         run_name = self.save_dir.rstrip("/").split("/")[-1]
+        from ..parallel.dist import is_primary
+        self.is_primary = is_primary()
         self.logger = RunLogger(cfg.get("wandb_prj"), run_name, self.save_dir,
-                                config=cfg)
-        print_config(cfg, print_to_path=self.config_path)
+                                config=cfg, enabled=self.is_primary)
+        if self.is_primary:
+            print_config(cfg, print_to_path=self.config_path)
 
     # -- path / io plumbing (same contract as AdvHandler) --
 
@@ -175,9 +203,12 @@ class BaselineHandler:
         return osp.join(base, f"{run_name}_model-{ckpt_type}.ckpt")
 
     def _batcher(self, ds):
+        multiple = (jax.device_count() if self.multi_host
+                    else int(self.cfg.get("dp_devices", 1) or 1))
         b = BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
+                          batch_multiple=multiple,
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         if self.task == "surv_cox":
@@ -194,14 +225,32 @@ class BaselineHandler:
     def _to_device(self, batch):
         fdt = (jnp.bfloat16 if self.cfg.get("precision") in ("bf16", "bfloat16")
                else jnp.float32)
-        dev = {"feats": jnp.asarray(batch.feats, fdt),
-               "mask": jnp.asarray(batch.mask),
-               "label": jnp.asarray(batch.label),
-               "sample_mask": jnp.asarray(batch.sample_mask),
-               "visible": jnp.asarray(batch.sample_mask)}
-        for k, v in batch.extra.items():
-            dev[k] = jnp.asarray(v)
-        return dev
+        dev = {"feats": np.asarray(batch.feats) if fdt == jnp.float32
+               else jnp.asarray(batch.feats, fdt),
+               "mask": batch.mask, "label": batch.label,
+               "sample_mask": batch.sample_mask,
+               "visible": batch.sample_mask}
+        dev.update(batch.extra)
+        if self.multi_host:
+            from ..parallel.dist import make_global_batch, process_local_slice
+            sl = process_local_slice(len(batch.sample_mask))
+            local = {k: np.asarray(v)[sl] for k, v in dev.items()}
+            return make_global_batch(local, self.mesh)
+        if self.mesh is not None:
+            if self.mesh_2d:
+                from ..parallel.mesh import shard_batch_2d
+                return shard_batch_2d(dev, self.mesh)
+            from ..parallel.mesh import shard_batch
+            return shard_batch(dev, self.mesh)
+        return {k: jnp.asarray(v) for k, v in dev.items()}
+
+    def _fetch(self, tree):
+        """Host-fetch device arrays; allgathered across processes when
+        multi-host (collective — same order on all processes)."""
+        if self.multi_host:
+            from ..parallel.dist import gather_to_hosts
+            return gather_to_hosts(tree)
+        return jax.device_get(tree)
 
     # -- exec / exec_test --
 
@@ -291,20 +340,23 @@ class BaselineHandler:
     def _train_each_epoch(self, loader):
         ds, batcher = loader
         cltor = {"y": [], "y_hat": [], "idx": []}
-        pending_metrics, pending_preds = [], []
+        pending_metrics, pending_preds, keeps = [], [], []
         for batch in batcher.prefetch(shuffle=True, rng=self.np_rng):
             dev = self._to_device(batch)
             self.state, metrics, collect = self.train_step(self.state, dev)
             pending_metrics.append(metrics)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
-            pending_preds.append((collect["y_hat"], keep))
+            pending_preds.append(collect["y_hat"])
+            keeps.append(keep)
             cltor["idx"].append(batch.idx[keep])
-        for metrics in jax.device_get(pending_metrics):
+        pending_metrics, pending_preds = self._fetch(
+            (pending_metrics, pending_preds))
+        for metrics in pending_metrics:
             self.logger.log({f"train_batch/net/{k}": float(v)
                              for k, v in metrics.items()})
-        cltor["y_hat"] = [np.asarray(jax.device_get(v))[keep]
-                          for v, keep in pending_preds]
+        cltor["y_hat"] = [np.asarray(v)[keep]
+                          for v, keep in zip(pending_preds, keeps)]
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
     # -- evaluation --
@@ -324,15 +376,17 @@ class BaselineHandler:
         if n_samples > 1:
             cltor["avg_y_hat"] = []
             cltor["dist_y_hat"] = []
-        pending = []
+        pending, keeps = [], []
         for batch in batcher.prefetch(shuffle=False):
             rng, sub = jax.random.split(rng)
             out = step(params, None, self._to_device(batch), sub)
             keep = batch.sample_mask.astype(bool)
             cltor["y"].append(batch.label[keep])
             cltor["idx"].append(batch.idx[keep])
-            pending.append((out, keep))
-        for out, keep in jax.device_get(pending):
+            pending.append(out)
+            keeps.append(keep)
+        pending = self._fetch(pending)
+        for out, keep in zip(pending, keeps):
             cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
             if n_samples > 1:
                 cltor["avg_y_hat"].append(np.asarray(out["avg_y_hat"])[keep])
@@ -359,6 +413,9 @@ class BaselineHandler:
                 f"checkpoint {ckpt} not found (no '{ckpt_type}' model was "
                 "saved — check es_warmup/epochs or test_load_path)")
         _, params, _ = ckpt_lib.restore_checkpoint(ckpt, self.state.params)
+        if self.multi_host:
+            from ..parallel.dist import replicate_global
+            params = replicate_global(params, self.mesh)
         wandb_group = f"{'bestckpt' if ckpt_type == 'best' else 'lastckpt'}/{group}"
         print_path = add_prefix_to_filename(self.metrics_paths[ckpt_type], group)
         metrics = {}
@@ -366,18 +423,22 @@ class BaselineHandler:
             cltor = self._run_eval(ds, batcher, n_samples=sampling, params=params)
             ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")
             metrics[k] = [("cindex", ci), ("loss", loss)]
-            if cfg["save_prediction"]:
+            if cfg["save_prediction"] and self.is_primary:
                 y_hat = cltor.get("avg_y_hat", cltor["y_hat"])
                 path = osp.join(self.save_dir, f"{group}_{ckpt_type}_pred_{k}.csv")
                 pids = [ds.pids[int(i)] for i in cltor["idx"]]
                 save_prediction(pids, cltor["y"], y_hat,
                                 cltor.get("dist_y_hat"), path)
-        print_metrics(metrics, print_to_path=print_path)
+        if self.is_primary:
+            print_metrics(metrics, print_to_path=print_path)
         return metrics
 
     def save_model(self, epoch, ckpt_type="best", run_name="train"):
-        ckpt_lib.save_checkpoint(self._ckpt_path(ckpt_type, run_name), epoch,
-                                 self.state.params, self.state.opt)
+        from ..parallel.dist import barrier, is_primary
+        if is_primary():
+            ckpt_lib.save_checkpoint(self._ckpt_path(ckpt_type, run_name), epoch,
+                                     self.state.params, self.state.opt)
+        barrier("save_model")
 
     def resume_model(self, ckpt_type="best", run_name="train"):
         e, p, o = ckpt_lib.restore_checkpoint(

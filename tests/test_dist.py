@@ -143,3 +143,63 @@ def test_two_process_training_end_to_end(tmp_path):
     run = tmp_path / "run" / "run"
     assert (run / "train_modelG-best.ckpt").exists()
     assert (run / "run_scalars.jsonl").exists()
+
+
+BASE_CHILD = textwrap.dedent("""
+    import os, sys, pathlib, json
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    sys.path.insert(0, {repo!r})
+    from advmil_tpu.parallel.dist import maybe_initialize
+    assert maybe_initialize() is True
+    from tests.test_train_smoke import base_cfg
+    from tests.test_handlers_modes import baseline_cfg as _bcfg
+    paths = json.loads(os.environ["ADVMIL_TEST_PATHS"])
+    workdir = pathlib.Path(os.environ["ADVMIL_TEST_WORKDIR"])
+    cfg = _bcfg(paths, workdir, bcb_dims="64-32-32", pdh_dims="32-1",
+                epochs=2, es_warmup=0, batch_token_budget=512,
+                bucket_min=32)
+    from advmil_tpu.train.baseline import BaselineHandler
+    handler = BaselineHandler(cfg)
+    assert handler.multi_host
+    metrics = handler.exec()
+    print("METRICS_JSON=" + json.dumps(metrics), flush=True)
+""")
+
+
+def test_two_process_baseline_training(tmp_path):
+    import json
+
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    paths = make_synthetic_dataset(str(tmp_path / "data"), n_patients=36,
+                                   dim=64, min_regions=2, max_regions=6,
+                                   seed=1)
+    paths = {k: v for k, v in paths.items() if isinstance(v, str)}
+    script = tmp_path / "base_child.py"
+    script.write_text(BASE_CHILD.format(repo=REPO))
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "ADVMIL_COORDINATOR": f"127.0.0.1:{port}",
+            "ADVMIL_NUM_PROCESSES": "2",
+            "ADVMIL_PROCESS_ID": str(rank),
+            "ADVMIL_TEST_PATHS": json.dumps(paths),
+            "ADVMIL_TEST_WORKDIR": str(tmp_path / "run"),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, \
+            f"rank {rank} failed:\nstdout: {out[-1500:]}\nstderr: {err[-3000:]}"
+        outs.append(out)
+    m0 = json.loads(outs[0].split("METRICS_JSON=")[1].splitlines()[0])
+    m1 = json.loads(outs[1].split("METRICS_JSON=")[1].splitlines()[0])
+    assert m0 == m1

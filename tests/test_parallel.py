@@ -49,3 +49,15 @@ def test_dp_batcher_rounds_to_device_multiple(synth, tmp_path):
     b = BucketBatcher(ds, token_budget=4096, min_bucket=256, batch_multiple=8)
     for n in [256, 512, 1024]:
         assert b.batch_size_for(n) % 8 == 0
+
+
+def test_baseline_handler_dp8(synth, tmp_path):
+    # single-host data parallelism in the BaselineHandler (mirrors the adv
+    # handler's dp path)
+    from advmil_tpu.train.baseline import BaselineHandler
+    from tests.test_handlers_modes import baseline_cfg
+    cfg = baseline_cfg(synth, tmp_path, dp_devices=8, epochs=2, es_warmup=0,
+                       bcb_dims="256-64-64", disc_netx_in_dim=256)
+    metrics = BaselineHandler(cfg).exec()
+    import numpy as np
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
