@@ -35,6 +35,7 @@ TPU_DEFAULTS = {
     "num_graph_layers": 1,
     "graph_edge_agg": "spatial",
     "graph_edges_per_node": 9,     # padded edge budget per node (kNN radius)
+    "graph_scatter_free": "auto",  # reverse-edge-table backward: auto|on|off
     "cache_bags": True,
     "accum_steps": 1,
     "profile_dir": None,

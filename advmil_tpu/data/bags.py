@@ -23,6 +23,19 @@ import numpy as np
 from ..utils.io import (retrieve_from_table, read_patch_feature,
                         read_patch_coord)
 from ..utils.func import sampling_data, random_mask_square_instance
+from ..ops.segment import build_reverse_edge_table
+
+
+def scatter_free_from_cfg(cfg: dict) -> str:
+    """Normalize the `graph_scatter_free` config key (YAML may give bools)."""
+    v = cfg.get("graph_scatter_free", "auto")
+    if v is True:
+        return "on"
+    if v is False:
+        return "off"
+    v = str(v).lower()
+    assert v in ("auto", "on", "off"), f"graph_scatter_free: {v}"
+    return v
 
 
 def default_buckets(max_n: int, min_bucket: int = 256) -> list:
@@ -229,7 +242,8 @@ class BucketBatcher:
 
     def __init__(self, dataset: BagDataset, token_budget: int = 32768,
                  max_batch: int = 64, min_bucket: int = 256,
-                 edges_per_node: int = 9, batch_multiple: int = 1):
+                 edges_per_node: int = 9, batch_multiple: int = 1,
+                 scatter_free: str = "auto"):
         self.ds = dataset
         self.token_budget = token_budget
         self.max_batch = max_batch
@@ -238,6 +252,17 @@ class BucketBatcher:
         self.batch_multiple = batch_multiple  # e.g. the DP device count
         self.prefetch_depth = 2  # set from cfg num_workers by the handlers
         self._warned_edge_truncation = False
+        # reverse edge tables (graph mode) make the GNN's message-gather
+        # backward scatter-free, but padding the table to the max out-degree
+        # costs gather volume: measured on-TPU, rev-gather wins when the max
+        # out-degree stays near epn (spatial kNN) and loses on hub-heavy
+        # graphs (BENCHNOTES.md). 'auto' emits the tables only while the
+        # needed columns stay <= roundup(2*epn, 8); 'on'/'off' force it.
+        self.scatter_free = scatter_free
+        # column count: monotone running max rounded to a multiple of 8, so
+        # the compiled shape stabilizes quickly and recompiles stay bounded
+        self._rev_slots = -(-2 * edges_per_node // 8) * 8
+        self._rev_disabled = False
         sizes = dataset.bag_sizes()
         self.buckets = default_buckets(int(sizes.max()), min_bucket)
         self.item_bucket = np.searchsorted(self.buckets, sizes)
@@ -365,6 +390,28 @@ class BucketBatcher:
                 em[j, dst[keep], pos[keep]] = 1.0
             extra["edge_src"] = esrc
             extra["edge_mask"] = em
+            # reverse tables: make the message-gather backward scatter-free
+            # (ops/segment.gather_rows_rev). Columns = running max out-degree
+            # rounded to 8 so the compiled shape stabilizes quickly.
+            if self.scatter_free != "off" and not (
+                    self.scatter_free == "auto" and self._rev_disabled):
+                revs = [build_reverse_edge_table(esrc[j], em[j])
+                        for j in range(bb)]
+                kmax = max(r[0].shape[1] for r in revs)
+                if self.scatter_free == "auto" and kmax > self._rev_slots:
+                    # hub-heavy graph: padded rev-gather would cost more than
+                    # the scatter it replaces — stick to the scatter backward
+                    self._rev_disabled = True
+                else:
+                    self._rev_slots = max(self._rev_slots, kmax)
+                    K = self._rev_slots
+                    rev_idx = np.zeros((bb, bucket_n, K), np.int32)
+                    rev_mask = np.zeros((bb, bucket_n, K), np.float32)
+                    for j, (ri, rm) in enumerate(revs):
+                        rev_idx[j, :, :ri.shape[1]] = ri
+                        rev_mask[j, :, :rm.shape[1]] = rm
+                    extra["rev_idx"] = rev_idx
+                    extra["rev_mask"] = rev_mask
         elif self.ds.mode == "patch" and "coords" in items[0]:
             # region-level coords: one per 16 patches
             Lb = bucket_n // 16

@@ -23,7 +23,7 @@ from .layers import (DenseInit, GatedAttention, GAPool,
                      TransformerEncoderLayer, make_dense, make_embedding_layer,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
-from ..ops.segment import knn_edge_softmax_aggregate
+from ..ops.segment import gather_rows_rev, knn_edge_softmax_aggregate
 from ..ops.pe import compute_pe
 
 
@@ -94,12 +94,19 @@ class GENConv(nn.Module):
     dense_init: str = DenseInit.XAVIER
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_mask, *, deterministic: bool):
+    def __call__(self, x, edge_src, edge_mask, rev_idx=None, rev_mask=None,
+                 *, deterministic: bool):
         # x: [N, C]; edge_src: [N, epn] source node per incoming edge slot;
         # edge_mask: [N, epn] 1 = real edge. The dense fixed-degree layout
-        # avoids scatters entirely (kNN in-degree is bounded by epn).
+        # avoids scatters in the forward (kNN in-degree is bounded by epn);
+        # when the batcher also supplies the reverse edge table, the gather's
+        # VJP becomes a gather too — zero scatters in the whole train step.
         t = self.param("t", nn.initializers.ones, (1,))
-        msg = nn.relu(x)[edge_src] + self.eps           # [N, epn, C] gather
+        xr = nn.relu(x)
+        if rev_idx is not None:
+            msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
+        else:
+            msg = xr[edge_src] + self.eps               # [N, epn, C] gather
         aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
@@ -120,9 +127,10 @@ class DeepGCNBlock(nn.Module):
     det: bool = True  # static field so nn.remat sees no traced bool arg
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_mask):
+    def __call__(self, x, edge_index, edge_mask, rev_idx=None, rev_mask=None):
         h = GENConv(self.dim, dense_init=self.dense_init, name="conv")(
-            x, edge_index, edge_mask, deterministic=self.det)
+            x, edge_index, edge_mask, rev_idx, rev_mask,
+            deterministic=self.det)
         h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
         h = nn.relu(h)
         h = x + h
@@ -144,6 +152,10 @@ class PatchGCN(nn.Module):
         dim_in, dim_hid, dim_out = self.dims
         edge_index = extra["edge_src"]                   # [B, N, epn]
         edge_mask = extra["edge_mask"]                   # [B, N, epn]
+        # reverse edge table [B, N, K]: optional, makes the message-gather
+        # VJP scatter-free (ops/segment.gather_rows_rev)
+        rev_idx = extra.get("rev_idx") if hasattr(extra, "get") else None
+        rev_mask = extra.get("rev_mask") if hasattr(extra, "get") else None
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
@@ -151,19 +163,28 @@ class PatchGCN(nn.Module):
 
         # first layer applies the bare conv (reference model/backbone.py:157)
         conv0 = GENConv(dim_hid, dense_init=self.dense_init, name="layer0_conv")
-        h0 = _vmap_graph(conv0, h, edge_index, edge_mask, deterministic)
+        h0 = _vmap_graph(conv0, h, edge_index, edge_mask, rev_idx, rev_mask,
+                         deterministic)
         feats = [h, h0]
         cur = h0
         for i in range(1, self.num_layers):
             blk_cls = nn.remat(DeepGCNBlock) if (i + 1) % 3 else DeepGCNBlock
             blk = blk_cls(dim_hid, dense_init=self.dense_init,
                           det=deterministic, name=f"layer{i}")
-            cur = nn.vmap(
-                lambda m, xx, ei, em: m(xx, ei, em),
-                in_axes=(0, 0, 0), out_axes=0,
-                variable_axes={"params": None},
-                split_rngs={"params": False, "dropout": True},
-            )(blk, cur, edge_index, edge_mask)
+            if rev_idx is not None:
+                cur = nn.vmap(
+                    lambda m, xx, ei, em, ri, rm: m(xx, ei, em, ri, rm),
+                    in_axes=(0, 0, 0, 0, 0), out_axes=0,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False, "dropout": True},
+                )(blk, cur, edge_index, edge_mask, rev_idx, rev_mask)
+            else:
+                cur = nn.vmap(
+                    lambda m, xx, ei, em: m(xx, ei, em),
+                    in_axes=(0, 0, 0), out_axes=0,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False, "dropout": True},
+                )(blk, cur, edge_index, edge_mask)
             feats.append(cur)
         h_path = jnp.concatenate(feats, axis=-1)         # [B, N, hid*(1+L)]
         h_path = make_dense(dim_out, self.dense_init,
@@ -178,8 +199,17 @@ class PatchGCN(nn.Module):
         return jnp.einsum("bn,bnd->bd", attn, h_path)
 
 
-def _vmap_graph(module: nn.Module, x, edge_index, edge_mask, deterministic):
+def _vmap_graph(module: nn.Module, x, edge_index, edge_mask, rev_idx,
+                rev_mask, deterministic):
     """Apply a per-graph module across the batch dim with shared params."""
+    if rev_idx is not None:
+        return nn.vmap(
+            lambda m, xx, ei, em, ri, rm: m(xx, ei, em, ri, rm,
+                                            deterministic=deterministic),
+            in_axes=(0, 0, 0, 0, 0), out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+        )(module, x, edge_index, edge_mask, rev_idx, rev_mask)
     return nn.vmap(
         lambda m, xx, ei, em: m(xx, ei, em, deterministic=deterministic),
         in_axes=(0, 0, 0), out_axes=0,

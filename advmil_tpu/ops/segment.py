@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def segment_softmax_aggregate(messages: jnp.ndarray, dst: jnp.ndarray,
@@ -50,6 +51,73 @@ def segment_mean(values: jnp.ndarray, seg_ids: jnp.ndarray, mask: jnp.ndarray,
     count = jax.ops.segment_sum(mask.astype(values.dtype), seg,
                                 num_segments=num_segments + 1)
     return (total / jnp.maximum(count, 1.0)[:, None])[:num_segments]
+
+
+@jax.custom_vjp
+def gather_rows_rev(x: jnp.ndarray, idx: jnp.ndarray, rev_idx: jnp.ndarray,
+                    rev_mask: jnp.ndarray) -> jnp.ndarray:
+    """``x[idx]`` whose VJP is a gather, not a scatter.
+
+    The autodiff transpose of a gather is a scatter-add, which XLA:TPU lowers
+    to (near-)serialized updates — it dominates PatchGCN's backward. Message
+    gathers over a static graph have a precomputable transpose: the reverse
+    edge table (``build_reverse_edge_table``) lists, for every source node,
+    the flat positions of the gathered copies, so the cotangent is a gather +
+    masked sum over out-edges.
+
+    x: [N, C]; idx: [N, epn] source row per edge slot; rev_idx: [N, K] flat
+    indices into N*epn (row-major over idx); rev_mask: [N, K] 1 = real entry.
+    Returns x[idx] = [N, epn, C].
+    """
+    del rev_idx, rev_mask
+    return x[idx]
+
+
+def _grr_fwd(x, idx, rev_idx, rev_mask):
+    # residuals must be JAX types: x dtype travels as a zero-size token
+    return x[idx], (jnp.zeros((0,), x.dtype), rev_idx, rev_mask)
+
+
+def _grr_bwd(res, g):
+    x_token, rev_idx, rev_mask = res
+    C = g.shape[-1]
+    gf = g.reshape(-1, C)
+    dx = jnp.sum(gf[rev_idx] * rev_mask[..., None].astype(g.dtype), axis=1)
+    return (dx.astype(x_token.dtype),
+            np.zeros(g.shape[:-1], jax.dtypes.float0),
+            np.zeros(rev_idx.shape, jax.dtypes.float0),
+            jnp.zeros_like(rev_mask))
+
+
+gather_rows_rev.defvjp(_grr_fwd, _grr_bwd)
+
+
+def build_reverse_edge_table(edge_src: np.ndarray, edge_mask: np.ndarray,
+                             k: int | None = None, multiple: int = 8):
+    """Exact transpose of a dense [N, epn] edge table (numpy, host-side).
+
+    rev_idx[j, r] = flat index i*epn + s of the r-th edge slot whose source
+    is j; rev_mask marks real entries. K defaults to the max out-degree
+    rounded up to `multiple` (out-degree of kNN graphs is small but not
+    bounded by epn). Feeding these to ``gather_rows_rev`` removes every
+    scatter from the GNN train step.
+    """
+    N, epn = edge_src.shape
+    flat = np.flatnonzero(edge_mask.reshape(-1) > 0)
+    src = edge_src.reshape(-1)[flat]
+    order = np.argsort(src, kind="stable")
+    src_s, flat_s = src[order], flat[order]
+    first = np.searchsorted(src_s, src_s, side="left")
+    rpos = np.arange(src_s.shape[0]) - first
+    kmax = int(rpos.max()) + 1 if src_s.size else 1
+    if k is None:
+        k = -(-max(kmax, 1) // multiple) * multiple
+    assert kmax <= k, f"reverse table needs {kmax} slots, given {k}"
+    rev_idx = np.zeros((N, k), np.int32)
+    rev_mask = np.zeros((N, k), np.float32)
+    rev_idx[src_s, rpos] = flat_s
+    rev_mask[src_s, rpos] = 1.0
+    return rev_idx, rev_mask
 
 
 def knn_edge_softmax_aggregate(messages: jnp.ndarray, edge_mask: jnp.ndarray,

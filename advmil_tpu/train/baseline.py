@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.bags import prepare_dataset, BucketBatcher
+from ..data.bags import (prepare_dataset, BucketBatcher,
+                         scatter_free_from_cfg as _scatter_free_cfg)
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import SurvNet
@@ -209,7 +210,8 @@ class BaselineHandler:
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
                           batch_multiple=multiple,
-                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
+                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
+                          scatter_free=_scatter_free_cfg(self.cfg))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         if self.task == "surv_cox":
             # Cox partial likelihood builds risk sets WITHIN a batch; a

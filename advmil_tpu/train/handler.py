@@ -20,7 +20,8 @@ import optax
 
 from .. import losses
 from ..config import check_configs
-from ..data.bags import prepare_dataset, BucketBatcher
+from ..data.bags import (prepare_dataset, BucketBatcher,
+                         scatter_free_from_cfg as _scatter_free_cfg)
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import Generator, Discriminator, PrjDiscriminator
@@ -246,7 +247,8 @@ class AdvHandler:
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
                           batch_multiple=multiple,
-                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)))
+                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
+                          scatter_free=_scatter_free_cfg(self.cfg))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
 

@@ -41,7 +41,11 @@ def _gen_extra(batch: dict, bcb_mode: str):
     if bcb_mode == "cluster":
         return batch["cluster_id"]
     if bcb_mode == "graph":
-        return {"edge_src": batch["edge_src"], "edge_mask": batch["edge_mask"]}
+        extra = {"edge_src": batch["edge_src"], "edge_mask": batch["edge_mask"]}
+        if "rev_idx" in batch:  # scatter-free backward (ops/segment.py)
+            extra["rev_idx"] = batch["rev_idx"]
+            extra["rev_mask"] = batch["rev_mask"]
+        return extra
     if bcb_mode == "patch":
         return batch.get("coords")  # None unless coords supplied
     return None

@@ -68,10 +68,30 @@ def build_step(mode: str, batch_n: int, batch_b: int):
             rng.integers(0, 8, size=(batch_b, batch_n)), jnp.int32)
         extra_init = batch["cluster_id"][:1]
     elif mode == "graph":
+        from advmil_tpu.ops.segment import build_reverse_edge_table
         epn = 8
-        src = rng.integers(0, batch_n, size=(batch_b, batch_n, epn))
+        # spatial-kNN-like edges: tools/build_graphs.py emits raster-ordered
+        # nodes whose neighbors sit on the adjacent grid rows, so a real
+        # slide graph is near-banded with out-degree ~ epn (not the uniform
+        # random worst case, whose max out-degree is ~3x higher)
+        grid_w = max(1, int(np.sqrt(batch_n)))
+        offs = np.array([-grid_w - 1, -grid_w, -grid_w + 1, -1,
+                         1, grid_w - 1, grid_w, grid_w + 1])
+        src = (np.arange(batch_n)[:, None] + offs[None, :]) % batch_n
+        src = np.broadcast_to(src, (batch_b, batch_n, epn)).copy()
+        em = np.ones((batch_b, batch_n, epn), np.float32)
         batch["edge_src"] = jnp.asarray(src, jnp.int32)
-        batch["edge_mask"] = jnp.ones((batch_b, batch_n, epn), jnp.float32)
+        batch["edge_mask"] = jnp.asarray(em)
+        revs = [build_reverse_edge_table(src[j].astype(np.int32), em[j])
+                for j in range(batch_b)]
+        K = max(r[0].shape[1] for r in revs)
+        ri = np.zeros((batch_b, batch_n, K), np.int32)
+        rm = np.zeros((batch_b, batch_n, K), np.float32)
+        for j, (a, b) in enumerate(revs):
+            ri[j, :, :a.shape[1]] = a
+            rm[j, :, :b.shape[1]] = b
+        batch["rev_idx"] = jnp.asarray(ri)
+        batch["rev_mask"] = jnp.asarray(rm)
         extra_init = {"edge_src": batch["edge_src"][:1],
                       "edge_mask": batch["edge_mask"][:1]}
     else:

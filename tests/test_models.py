@@ -152,6 +152,65 @@ class TestPatchGCN:
                                    rtol=1e-5, atol=1e-6)
         assert keep.sum() > 0
 
+    def test_reverse_table_is_exact_transpose(self):
+        from advmil_tpu.ops.segment import build_reverse_edge_table
+        rng = np.random.default_rng(3)
+        n, epn = 20, 4
+        esrc = rng.integers(0, n, size=(n, epn)).astype(np.int32)
+        em = (rng.uniform(size=(n, epn)) < 0.7).astype(np.float32)
+        esrc = esrc * (em > 0)
+        rev_idx, rev_mask = build_reverse_edge_table(esrc, em)
+        assert rev_idx.shape[1] % 8 == 0
+        # every real edge slot appears exactly once, at the row of its source
+        seen = set()
+        for j in range(n):
+            for r in range(rev_idx.shape[1]):
+                if rev_mask[j, r]:
+                    flat = int(rev_idx[j, r])
+                    assert flat not in seen
+                    seen.add(flat)
+                    assert esrc.reshape(-1)[flat] == j
+                    assert em.reshape(-1)[flat] == 1.0
+        assert len(seen) == int(em.sum())
+
+    def test_reverse_gather_grads_match_scatter_path(self):
+        # gather_rows_rev's custom VJP (scatter-free backward) must produce
+        # the same gradients as the plain gather through PatchGCN, including
+        # padded nodes, masked edges, and the remat'd multi-layer stack
+        from advmil_tpu.ops.segment import build_reverse_edge_table
+        rng = np.random.default_rng(1)
+        n, epn, b = 32, 3, 2
+        x = jnp.asarray(rng.normal(size=(b, n, DIMS[0])), jnp.float32)
+        mask = np.zeros((b, n), np.float32)
+        mask[:, :24] = 1.0
+        esrc = rng.integers(0, 24, size=(b, n, epn)).astype(np.int32)
+        em = np.zeros((b, n, epn), np.float32)
+        em[:, :24] = (rng.uniform(size=(b, 24, epn)) < 0.85)
+        esrc = esrc * (em > 0).astype(np.int32)
+        revs = [build_reverse_edge_table(esrc[j], em[j], k=24)
+                for j in range(b)]
+        plain = {"edge_src": jnp.asarray(esrc), "edge_mask": jnp.asarray(em)}
+        withrev = dict(plain,
+                       rev_idx=jnp.asarray(np.stack([r[0] for r in revs])),
+                       rev_mask=jnp.asarray(np.stack([r[1] for r in revs])))
+        model = PatchGCN(DIMS, num_layers=3)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "dropout": jax.random.PRNGKey(1)},
+                            x, jnp.asarray(mask), plain, deterministic=True)
+
+        def loss(p, extra):
+            out = model.apply(p, x, jnp.asarray(mask), extra,
+                              deterministic=True)
+            return jnp.sum(out ** 2)
+
+        v1, g1 = jax.value_and_grad(loss)(params, plain)
+        v2, g2 = jax.value_and_grad(loss)(params, withrev)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, c in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestGAN:
     def test_generator_shapes_and_noise(self):
