@@ -101,7 +101,11 @@ class BaselineHandler:
 
         self.base_lr = cfg["opt_net_lr"]
         self.second_order = cfg["opt_net"].lower() == "adahessian"
+        # optional gradient accumulation, mirroring AdvHandler: MultiSteps
+        # INSIDE inject_hyperparams so plateau LR stays addressable
+        accum = int(cfg.get("accum_steps", 1) or 1)
         if self.second_order:
+            assert accum == 1, "accum_steps is not supported with adahessian"
             from .optim import adahessian
             import jax.tree_util as jtu
             mask = jtu.tree_map(lambda p: p.ndim > 1, self.params)
@@ -110,9 +114,10 @@ class BaselineHandler:
                                  params_mask=mask)
         else:
             def make_tx(learning_rate):
-                return create_optimizer(cfg["opt_net"], learning_rate,
-                                        weight_decay=cfg["opt_net_weight_decay"],
-                                        params=self.params)
+                tx = create_optimizer(cfg["opt_net"], learning_rate,
+                                      weight_decay=cfg["opt_net_weight_decay"],
+                                      params=self.params)
+                return optax.MultiSteps(tx, accum) if accum > 1 else tx
 
             self.tx = optax.inject_hyperparams(make_tx)(
                 learning_rate=self.base_lr)

@@ -229,6 +229,64 @@ def bench_mixed_buckets() -> dict:
     }
 
 
+def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
+    """Serving path: test-time K-sample median prediction (reference
+    model/model_handler.py:624-641 loops 30 full forwards per bag; here the
+    backbone embeds once and only the noise head is vmapped over samples)."""
+    import jax
+    from advmil_tpu.train.steps import make_eval_step
+    step, state, batch = build_step("patch", batch_n, batch_b)
+    from advmil_tpu.models.backbones import load_backbone
+    from advmil_tpu.models.gan import Generator, PrjDiscriminator
+    backbone = load_backbone("patch", [FEAT_DIM, 384, 384], use_pallas=True)
+    gen = Generator(backbone=backbone, dim_in=384, dim_out=1, noise=(0, 1),
+                    hops=1, noise_dist="uniform", norm=False, dropout=0.6,
+                    out_scale="sigmoid")
+    disc = PrjDiscriminator(netx_in_dim=FEAT_DIM, netx_out_dim=128,
+                            nety_in_dim=1, nety_hid_dims=(64, 128),
+                            prj_path="x", inner_product="instance",
+                            netx_ksize=1, netx_dropout=0.25)
+    eval_step = make_eval_step(gen, disc, bcb_mode="patch",
+                               n_samples=n_samples)
+    import time as _t
+    rng = jax.random.PRNGKey(0)
+    t0 = _t.perf_counter()
+    lowered = jax.jit(eval_step).lower(state.params_G, state.params_D,
+                                       batch, rng)
+    compiled = lowered.compile()
+    compile_s = _t.perf_counter() - t0
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+
+    def chain(n):
+        t0 = _t.perf_counter()
+        out = None
+        for _ in range(n):
+            out = compiled(state.params_G, state.params_D, batch, rng)
+        _ = float(out["avg_y_hat"].sum())
+        return _t.perf_counter() - t0
+
+    chain(2)
+    d_short = chain(CHAIN_SHORT)
+    d_long = chain(CHAIN_LONG)
+    per_step = (d_long - d_short) / (CHAIN_LONG - CHAIN_SHORT)
+    bags = batch_b / per_step
+    return {
+        "metric": "gansurv_esat_eval30_throughput",
+        "value": round(bags, 2),
+        "unit": "bags/sec/chip",
+        "vs_baseline": round(bags / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
+        "anchor": ANCHOR,
+        "batch": batch_b,
+        "bag_n": batch_n,
+        "n_samples": n_samples,
+        "mfu": round(flops / per_step / PEAK_FLOPS, 4),
+        "compile_s": round(compile_s, 1),
+    }
+
+
 def main():
     from advmil_tpu.config import enable_compilation_cache
     enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
@@ -243,6 +301,8 @@ def main():
     results.append(bench_mode("graph", BAG_N, 8))
     print(json.dumps(results[-1]), flush=True)
     results.append(bench_mixed_buckets())
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_eval(BAG_N, 32))
     print(json.dumps(results[-1]), flush=True)
     headline = bench_mode("patch", BAG_N, 32)
     headline["metric"] = "gansurv_esat_train_throughput"

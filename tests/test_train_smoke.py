@@ -163,3 +163,22 @@ def test_plateau_lr_survives_grad_accum(synth, tmp_path):
     # the step must still run (and accumulate) with the injected+MultiSteps state
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["train"])["cindex"])
+
+
+def test_baseline_grad_accum_refregime(synth, tmp_path):
+    # BaselineHandler accumulation (used by the parity harness's _refregime
+    # arm to emulate the reference's batch_size=1 + bp_every_batch=16 regime,
+    # reference model/baseline_handler.py:328-368): plateau LR injection must
+    # survive MultiSteps and training must run with one bag per microbatch
+    from advmil_tpu.train.baseline import BaselineHandler
+    from tests.test_handlers_modes import baseline_cfg
+    cfg = baseline_cfg(synth, tmp_path, epochs=2, accum_steps=4,
+                       batch_max_size=1)
+    handler = BaselineHandler(cfg)
+    lr0 = float(handler.state.opt.hyperparams["learning_rate"])
+    assert lr0 == pytest.approx(cfg["opt_net_lr"], rel=1e-6)
+    handler._set_lr(lr0 * 0.5)
+    assert float(handler.state.opt.hyperparams["learning_rate"]) == \
+        pytest.approx(lr0 * 0.5, rel=1e-6)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
