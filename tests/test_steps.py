@@ -167,3 +167,39 @@ def test_gen_updates_two():
         jax.tree_util.tree_leaves(s2.params_G),
         jax.tree_util.tree_leaves(state.params_G)))
     assert d2 > d1 * 1.2
+
+
+def test_eval_step_embed_head_split_matches_full_forward():
+    # serving path: make_eval_step embeds the backbone once and vmaps only
+    # the noise head over sample keys; each sample must equal a FULL
+    # generator forward with the same noise key (the split is an
+    # optimization, not a semantic change)
+    from advmil_tpu.train.steps import make_eval_step, _median_lower
+    gen, disc = _models()
+    B, N, K = 3, 32, 5
+    batch = _batch(B, N)
+    state, _, _ = _state(gen, disc, batch["feats"], batch["mask"])
+    step = make_eval_step(gen, disc, bcb_mode="abmil", n_samples=K)
+    rng = jax.random.PRNGKey(7)
+    out = step(state.params_G, state.params_D, batch, rng)
+    assert out["dist_y_hat"].shape == (B, K, 1)
+
+    k0, kdist = jax.random.split(rng)
+    keys = jax.random.split(kdist, K)
+    full = jnp.stack([
+        gen.apply({"params": state.params_G}, batch["feats"], batch["mask"],
+                  None, zero_noise=False, deterministic=True,
+                  rngs={"noise": k})
+        for k in keys])                                   # [K, B, 1]
+    np.testing.assert_allclose(np.asarray(out["dist_y_hat"]),
+                               np.asarray(jnp.transpose(full, (1, 0, 2))),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["avg_y_hat"]),
+                               np.asarray(_median_lower(full, axis=0)),
+                               rtol=1e-5, atol=1e-6)
+    # y_hat itself is the k0 sample of a full forward
+    y0 = gen.apply({"params": state.params_G}, batch["feats"], batch["mask"],
+                   None, zero_noise=False, deterministic=True,
+                   rngs={"noise": k0})
+    np.testing.assert_allclose(np.asarray(out["y_hat"]), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
