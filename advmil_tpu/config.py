@@ -112,8 +112,21 @@ def grid_hyperparams(kwargs: dict) -> list:
     return [k for k, v in kwargs.items() if isinstance(v, list)]
 
 
+def scatter_free_from_cfg(cfg: dict) -> str:
+    """Normalize the `graph_scatter_free` config key (YAML may give bools)."""
+    v = cfg.get("graph_scatter_free", "auto")
+    if v is True:
+        return "on"
+    if v is False:
+        return "off"
+    v = str(v).lower()
+    assert v in ("auto", "on", "off"), f"graph_scatter_free: {v}"
+    return v
+
+
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
+    scatter_free_from_cfg(cfg)
     assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"], \
         f"loss_netD must be bce/hinge/wasserstein, got {cfg['loss_netD']}"
     assert cfg["loss_recon_norm"] in ["l1", "l2"], "loss_recon_norm must be l1/l2"

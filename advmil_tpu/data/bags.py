@@ -26,18 +26,6 @@ from ..utils.func import sampling_data, random_mask_square_instance
 from ..ops.segment import build_reverse_edge_table
 
 
-def scatter_free_from_cfg(cfg: dict) -> str:
-    """Normalize the `graph_scatter_free` config key (YAML may give bools)."""
-    v = cfg.get("graph_scatter_free", "auto")
-    if v is True:
-        return "on"
-    if v is False:
-        return "off"
-    v = str(v).lower()
-    assert v in ("auto", "on", "off"), f"graph_scatter_free: {v}"
-    return v
-
-
 def default_buckets(max_n: int, min_bucket: int = 256) -> list:
     """Power-of-two bucket sizes (multiples of 16) covering up to max_n."""
     sizes = []
@@ -259,9 +247,12 @@ class BucketBatcher:
         # graphs (BENCHNOTES.md). 'auto' emits the tables only while the
         # needed columns stay <= roundup(2*epn, 8); 'on'/'off' force it.
         self.scatter_free = scatter_free
-        # column count: monotone running max rounded to a multiple of 8, so
-        # the compiled shape stabilizes quickly and recompiles stay bounded
-        self._rev_slots = -(-2 * edges_per_node // 8) * 8
+        # column cap beyond which 'auto' gives up (padded rev-gather loses to
+        # the scatter it replaces, BENCHNOTES.md); the actual column count
+        # grows monotonically from the OBSERVED out-degree (rounded to 8) so
+        # low-degree graphs get tight tables and recompiles stay bounded
+        self._rev_cap = -(-2 * edges_per_node // 8) * 8
+        self._rev_slots = 0
         self._rev_disabled = False
         sizes = dataset.bag_sizes()
         self.buckets = default_buckets(int(sizes.max()), min_bucket)
@@ -398,7 +389,7 @@ class BucketBatcher:
                 revs = [build_reverse_edge_table(esrc[j], em[j])
                         for j in range(bb)]
                 kmax = max(r[0].shape[1] for r in revs)
-                if self.scatter_free == "auto" and kmax > self._rev_slots:
+                if self.scatter_free == "auto" and kmax > self._rev_cap:
                     # hub-heavy graph: padded rev-gather would cost more than
                     # the scatter it replaces — stick to the scatter backward
                     self._rev_disabled = True

@@ -164,27 +164,15 @@ class PatchGCN(nn.Module):
         # first layer applies the bare conv (reference model/backbone.py:157)
         conv0 = GENConv(dim_hid, dense_init=self.dense_init, name="layer0_conv")
         h0 = _vmap_graph(conv0, h, edge_index, edge_mask, rev_idx, rev_mask,
-                         deterministic)
+                         deterministic=deterministic)
         feats = [h, h0]
         cur = h0
         for i in range(1, self.num_layers):
             blk_cls = nn.remat(DeepGCNBlock) if (i + 1) % 3 else DeepGCNBlock
             blk = blk_cls(dim_hid, dense_init=self.dense_init,
                           det=deterministic, name=f"layer{i}")
-            if rev_idx is not None:
-                cur = nn.vmap(
-                    lambda m, xx, ei, em, ri, rm: m(xx, ei, em, ri, rm),
-                    in_axes=(0, 0, 0, 0, 0), out_axes=0,
-                    variable_axes={"params": None},
-                    split_rngs={"params": False, "dropout": True},
-                )(blk, cur, edge_index, edge_mask, rev_idx, rev_mask)
-            else:
-                cur = nn.vmap(
-                    lambda m, xx, ei, em: m(xx, ei, em),
-                    in_axes=(0, 0, 0), out_axes=0,
-                    variable_axes={"params": None},
-                    split_rngs={"params": False, "dropout": True},
-                )(blk, cur, edge_index, edge_mask)
+            cur = _vmap_graph(blk, cur, edge_index, edge_mask, rev_idx,
+                              rev_mask)
             feats.append(cur)
         h_path = jnp.concatenate(feats, axis=-1)         # [B, N, hid*(1+L)]
         h_path = make_dense(dim_out, self.dense_init,
@@ -200,21 +188,21 @@ class PatchGCN(nn.Module):
 
 
 def _vmap_graph(module: nn.Module, x, edge_index, edge_mask, rev_idx,
-                rev_mask, deterministic):
-    """Apply a per-graph module across the batch dim with shared params."""
+                rev_mask, deterministic=None):
+    """Apply a per-graph module across the batch dim with shared params.
+    Reverse-table operands are appended only when present; `deterministic`
+    is forwarded as a kwarg when given (GENConv) and omitted for modules
+    that carry it as a static field (DeepGCNBlock under remat)."""
+    operands = (x, edge_index, edge_mask)
     if rev_idx is not None:
-        return nn.vmap(
-            lambda m, xx, ei, em, ri, rm: m(xx, ei, em, ri, rm,
-                                            deterministic=deterministic),
-            in_axes=(0, 0, 0, 0, 0), out_axes=0,
-            variable_axes={"params": None},
-            split_rngs={"params": False, "dropout": True},
-        )(module, x, edge_index, edge_mask, rev_idx, rev_mask)
+        operands += (rev_idx, rev_mask)
+    kw = {} if deterministic is None else {"deterministic": deterministic}
     return nn.vmap(
-        lambda m, xx, ei, em: m(xx, ei, em, deterministic=deterministic),
-        in_axes=(0, 0, 0), out_axes=0,
-        variable_axes={"params": None}, split_rngs={"params": False, "dropout": True},
-    )(module, x, edge_index, edge_mask)
+        lambda m, *a: m(*a, **kw),
+        in_axes=(0,) * len(operands), out_axes=0,
+        variable_axes={"params": None},
+        split_rngs={"params": False, "dropout": True},
+    )(module, *operands)
 
 
 class DualTransHS(nn.Module):

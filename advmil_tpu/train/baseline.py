@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.bags import (prepare_dataset, BucketBatcher,
-                         scatter_free_from_cfg as _scatter_free_cfg)
+from ..config import scatter_free_from_cfg as _scatter_free_cfg
+from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import SurvNet
@@ -208,7 +208,7 @@ class BaselineHandler:
         base = self.load_dir if load else self.save_dir
         return osp.join(base, f"{run_name}_model-{ckpt_type}.ckpt")
 
-    def _batcher(self, ds):
+    def _batcher(self, ds, for_train: bool = False):
         multiple = (jax.device_count() if self.multi_host
                     else int(self.cfg.get("dp_devices", 1) or 1))
         b = BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
@@ -216,7 +216,9 @@ class BaselineHandler:
                           min_bucket=self.cfg["bucket_min"],
                           batch_multiple=multiple,
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
-                          scatter_free=_scatter_free_cfg(self.cfg))
+                          # reverse tables only pay off in the backward pass
+                          scatter_free=(_scatter_free_cfg(self.cfg)
+                                        if for_train else "off"))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         if self.task == "surv_cox":
             # Cox partial likelihood builds risk sets WITHIN a batch; a
@@ -272,7 +274,7 @@ class BaselineHandler:
         val_set = prepare_dataset(pids_val, cfg, rng=self.np_rng)
         self.patient_id["train"] = train_set.pids
         self.patient_id["validation"] = val_set.pids
-        loaders = {"train": (train_set, self._batcher(train_set)),
+        loaders = {"train": (train_set, self._batcher(train_set, for_train=True)),
                    "validation": (val_set, self._batcher(val_set))}
         if pids_test is not None:
             test_set = prepare_dataset(pids_test, cfg, rng=self.np_rng)

@@ -20,8 +20,8 @@ import optax
 
 from .. import losses
 from ..config import check_configs
-from ..data.bags import (prepare_dataset, BucketBatcher,
-                         scatter_free_from_cfg as _scatter_free_cfg)
+from ..config import scatter_free_from_cfg as _scatter_free_cfg
+from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import Generator, Discriminator, PrjDiscriminator
@@ -239,7 +239,7 @@ class AdvHandler:
             extra = None
         return {"feats": feats, "mask": mask, "extra": extra}
 
-    def _batcher(self, dataset) -> BucketBatcher:
+    def _batcher(self, dataset, for_train: bool = False) -> BucketBatcher:
         multiple = (jax.device_count() if self.multi_host
                     else int(self.cfg.get("dp_devices", 1) or 1))
         b = BucketBatcher(dataset,
@@ -248,7 +248,9 @@ class AdvHandler:
                           min_bucket=self.cfg["bucket_min"],
                           batch_multiple=multiple,
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
-                          scatter_free=_scatter_free_cfg(self.cfg))
+                          # reverse tables only pay off in the backward pass
+                          scatter_free=(_scatter_free_cfg(self.cfg)
+                                        if for_train else "off"))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
 
@@ -302,7 +304,7 @@ class AdvHandler:
         val_set = prepare_dataset(pids_val, cfg, rng=self.np_rng)
         self.patient_id["train"] = train_set.pids
         self.patient_id["validation"] = val_set.pids
-        loaders = {"train": (train_set, self._batcher(train_set)),
+        loaders = {"train": (train_set, self._batcher(train_set, for_train=True)),
                    "validation": (val_set, self._batcher(val_set))}
         if pids_test is not None:
             test_set = prepare_dataset(pids_test, cfg, rng=self.np_rng)
@@ -361,7 +363,8 @@ class AdvHandler:
         if cfg.get("ssl_first_phase", False):
             print("[exec_semi_sl] first phase: supervised pretraining")
             self._run_training(cfg["epochs"],
-                               (labeled_set, self._batcher(labeled_set)),
+                               (labeled_set,
+                                self._batcher(labeled_set, for_train=True)),
                                "labeled_train", val_loaders=val_loaders,
                                val_name="validation", early_stop=False,
                                run_name="pretrain")
@@ -379,7 +382,7 @@ class AdvHandler:
                 name = f"fold{i}_mixed_train"
                 ds = prepare_dataset(kth, cfg, rng=self.np_rng)
                 self.patient_id[name] = ds.pids
-                fold_loaders.append((ds, self._batcher(ds)))
+                fold_loaders.append((ds, self._batcher(ds, for_train=True)))
                 fold_names.append(name)
             self._run_training(cfg["ssl_epochs"], fold_loaders, fold_names,
                                mode="wolabel", val_loaders=val_loaders,
@@ -388,14 +391,16 @@ class AdvHandler:
         elif "LD" in mode:
             run_name = "semitrain_LD"
             self._run_training(cfg["ssl_epochs"],
-                               (labeled_set, self._batcher(labeled_set)),
+                               (labeled_set,
+                                self._batcher(labeled_set, for_train=True)),
                                "labeled_train", mode="wolabel",
                                val_loaders=val_loaders, val_name="validation",
                                early_stop=True, run_name=run_name)
         elif "UD" in mode:
             run_name = "semitrain_UD"
             self._run_training(cfg["ssl_epochs"],
-                               (unlabeled_set, self._batcher(unlabeled_set)),
+                               (unlabeled_set,
+                                self._batcher(unlabeled_set, for_train=True)),
                                "unlabeled_train", mode="wolabel",
                                val_loaders=val_loaders, val_name="validation",
                                early_stop=True, run_name=run_name)

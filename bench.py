@@ -125,7 +125,7 @@ def build_step(mode: str, batch_n: int, batch_b: int):
                                nbins=4,
                                sup_loss_fn=make_supervised_loss("cont_gansurv", cfg),
                                donate=False)
-    return step, state, batch
+    return step, state, batch, gen, disc
 
 
 def compile_and_flops(step, state, batch):
@@ -156,7 +156,7 @@ def chain_time(run_step, state, batches, n: int) -> float:
 
 
 def bench_mode(mode: str, batch_n: int, batch_b: int) -> dict:
-    step, state, batch = build_step(mode, batch_n, batch_b)
+    step, state, batch, _, _ = build_step(mode, batch_n, batch_b)
     compiled, compile_s, flops = compile_and_flops(step, state, batch)
 
     def run(st, b):
@@ -188,7 +188,7 @@ def bench_mixed_buckets() -> dict:
     state = None
     compile_total = 0.0
     for n, b in shapes:
-        step, st, batch = build_step("patch", n, b)
+        step, st, batch, _, _ = build_step("patch", n, b)
         compiled, secs, flops = compile_and_flops(step, st, batch)
         compile_total += secs
         state = st  # same model/optimizer config across shapes
@@ -235,26 +235,15 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     backbone embeds once and only the noise head is vmapped over samples)."""
     import jax
     from advmil_tpu.train.steps import make_eval_step
-    step, state, batch = build_step("patch", batch_n, batch_b)
-    from advmil_tpu.models.backbones import load_backbone
-    from advmil_tpu.models.gan import Generator, PrjDiscriminator
-    backbone = load_backbone("patch", [FEAT_DIM, 384, 384], use_pallas=True)
-    gen = Generator(backbone=backbone, dim_in=384, dim_out=1, noise=(0, 1),
-                    hops=1, noise_dist="uniform", norm=False, dropout=0.6,
-                    out_scale="sigmoid")
-    disc = PrjDiscriminator(netx_in_dim=FEAT_DIM, netx_out_dim=128,
-                            nety_in_dim=1, nety_hid_dims=(64, 128),
-                            prj_path="x", inner_product="instance",
-                            netx_ksize=1, netx_dropout=0.25)
+    _, state, batch, gen, disc = build_step("patch", batch_n, batch_b)
     eval_step = make_eval_step(gen, disc, bcb_mode="patch",
                                n_samples=n_samples)
-    import time as _t
     rng = jax.random.PRNGKey(0)
-    t0 = _t.perf_counter()
+    t0 = time.perf_counter()
     lowered = jax.jit(eval_step).lower(state.params_G, state.params_D,
                                        batch, rng)
     compiled = lowered.compile()
-    compile_s = _t.perf_counter() - t0
+    compile_s = time.perf_counter() - t0
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]

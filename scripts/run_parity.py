@@ -198,6 +198,10 @@ def main():
     ap.add_argument("--tasks", nargs="+",
                     default=["adv_esat", "base_nll_abmil",
                              "base_nll_abmil_refregime"])
+    ap.add_argument("--resume", default=None,
+                    help="existing PARITY.json: (task, fold, seed) rows "
+                         "already present are reused instead of re-run "
+                         "(runs are deterministic per seed)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -210,6 +214,14 @@ def main():
         "base_nll_abmil_refregime": ("base", base_cfg, ours_refregime),
     }
 
+    prev_rows = {}
+    if args.resume and osp.exists(args.resume):
+        with open(args.resume) as f:
+            for t, v in json.load(f).items():
+                for r in v["rows"]:
+                    prev_rows[(t, r["fold"], r["seed"])] = r
+        print(f"[parity] resuming: {len(prev_rows)} rows from {args.resume}")
+
     results = {}
     ref_cache = {}
     for task in args.tasks:
@@ -219,6 +231,16 @@ def main():
             for seed in args.seeds:
                 run_tag = osp.join(args.workdir, task, f"fold{fold}s{seed}")
                 cache_key = (builder.__name__, fold, seed)
+                if (task, fold, seed) in prev_rows:
+                    row = prev_rows[(task, fold, seed)]
+                    rows.append(row)
+                    # seed the ref cache so sibling arms (e.g. _refregime)
+                    # reuse the recorded reference metrics
+                    ref_cache.setdefault(cache_key, (
+                        {"validation": {"cindex": row["ref_val"]},
+                         "test": {"cindex": row["ref_test"]}},
+                        row.get("ref_seconds", 0.0)))
+                    continue
                 if cache_key in ref_cache:
                     ref, t_ref = ref_cache[cache_key]
                 else:

@@ -101,6 +101,36 @@ class TestBuckets:
             assert batch.feats.shape[1] in batcher.buckets
         assert sorted(seen) == list(range(len(ds)))
 
+    def test_graph_rev_tables_sized_to_observed_outdegree(self, tmp_path):
+        # 'auto' reverse tables must be padded to the OBSERVED max
+        # out-degree (rounded to 8), not the 2*epn disable cap — the padded
+        # columns cost backward-gather volume (BENCHNOTES.md ablation)
+        paths = make_synthetic_dataset(str(tmp_path), n_patients=8, dim=16,
+                                       min_regions=2, max_regions=4, seed=5)
+        ds = BagDataset(paths["pids"], paths["path_patch"], paths["path_label"],
+                        "graph", read_format="npy", time_format="ratio",
+                        graph_path=paths["path_graph"])
+        batcher = BucketBatcher(ds, token_budget=256, min_bucket=64,
+                                edges_per_node=9)
+        for batch in batcher.epoch_batches():
+            # synthetic chain+skip graphs have out-degree <= 4 -> K == 8,
+            # far below the disable cap of roundup(2*9, 8) = 24
+            assert "rev_idx" in batch.extra
+            assert batch.extra["rev_idx"].shape[2] == 8
+            # every unmasked rev entry points at an edge slot whose source
+            # is that row's node
+            esrc = batch.extra["edge_src"]
+            for j in range(esrc.shape[0]):
+                ri, rm = batch.extra["rev_idx"][j], batch.extra["rev_mask"][j]
+                flat_src = esrc[j].reshape(-1)
+                nz = np.argwhere(rm > 0)
+                assert np.all(flat_src[ri[nz[:, 0], nz[:, 1]]] == nz[:, 0])
+        # 'off' emits no tables
+        b2 = BucketBatcher(ds, token_budget=256, min_bucket=64,
+                           edges_per_node=9, scatter_free="off")
+        for batch in b2.epoch_batches():
+            assert "rev_idx" not in batch.extra
+
     def test_labels_match_dataset(self, tmp_path):
         paths = make_synthetic_dataset(str(tmp_path), n_patients=8, dim=16,
                                        min_regions=2, max_regions=4, seed=5)
