@@ -250,12 +250,12 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     flops = float(cost.get("flops", float("nan")))
 
     def chain(n):
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
         out = None
         for _ in range(n):
             out = compiled(state.params_G, state.params_D, batch, rng)
         _ = float(out["avg_y_hat"].sum())
-        return _t.perf_counter() - t0
+        return time.perf_counter() - t0
 
     chain(2)
     d_short = chain(CHAIN_SHORT)
