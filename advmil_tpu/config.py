@@ -127,6 +127,8 @@ def scatter_free_from_cfg(cfg: dict) -> str:
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
     scatter_free_from_cfg(cfg)
+    assert cfg.get("monitor_metrics", "loss") in ("loss", "ci", "ci_max"), \
+        "monitor_metrics must be loss / ci (reference-inverted) / ci_max"
     assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"], \
         f"loss_netD must be bce/hinge/wasserstein, got {cfg['loss_netD']}"
     assert cfg["loss_recon_norm"] in ["l1", "l2"], "loss_recon_norm must be l1/l2"

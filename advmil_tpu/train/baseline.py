@@ -322,7 +322,11 @@ class BaselineHandler:
                     c = self._run_eval(ds, batcher, n_samples=1)
                     ci, lo = self._eval_and_print(c, name=k, at_epoch=epoch + 1)
                     if k == val_name:
-                        val_metrics = ci if cfg["monitor_metrics"] == "ci" else lo
+                        # 'ci' = reference's inverted semantics; 'ci_max' =
+                        # corrected opt-in (negated for min-tracking)
+                        mm = cfg["monitor_metrics"]
+                        val_metrics = (ci if mm == "ci"
+                                       else -ci if mm == "ci_max" else lo)
             if val_metrics is not None and self.early_stop is not None:
                 scale = self.steplr.step(val_metrics)
                 self._set_lr(self.base_lr * scale)

@@ -462,7 +462,13 @@ class AdvHandler:
                     met_ci, met_loss = self._eval_and_print(cltor, name=k,
                                                             at_epoch=epoch + 1)
                     if k == val_name:
-                        val_metrics = (met_ci if cfg["monitor_metrics"] == "ci"
+                        # 'ci' keeps the reference's INVERTED semantics
+                        # (monitored as a loss -> saves the MINIMUM c-index;
+                        # COVERAGE.md quirks). 'ci_max' is the corrected
+                        # opt-in: negate so min-tracking maximizes c-index.
+                        mm = cfg["monitor_metrics"]
+                        val_metrics = (met_ci if mm == "ci"
+                                       else -met_ci if mm == "ci_max"
                                        else met_loss)
 
             if val_metrics is not None and self.early_stop is not None:

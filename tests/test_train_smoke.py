@@ -165,6 +165,26 @@ def test_plateau_lr_survives_grad_accum(synth, tmp_path):
     assert np.isfinite(dict(metrics["train"])["cindex"])
 
 
+def test_monitor_ci_max_tracks_maximum_cindex(synth, tmp_path):
+    # `monitor_metrics: ci_max` is the corrected opt-in (COVERAGE.md quirks):
+    # the monitored value is -c_index, so min-tracking EarlyStopping keeps
+    # the checkpoint with the MAXIMUM validation c-index — unlike the
+    # reference's inverted 'ci' (which keeps the minimum)
+    import json
+    import glob
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, epochs=3, es_warmup=0,
+                   monitor_metrics="ci_max")
+    handler = AdvHandler(cfg)
+    metrics = handler.exec()
+    assert np.isfinite(dict(metrics["validation"])["cindex"])
+    scalars = glob.glob(str(tmp_path / "run" / "*_scalars.jsonl"))[0]
+    cis = [r["validation/c_index"] for r in map(json.loads, open(scalars))
+           if "validation/c_index" in r]
+    assert len(cis) >= 3
+    assert handler.early_stop.val_loss_min == pytest.approx(-max(cis), abs=1e-9)
+
+
 def test_baseline_grad_accum_refregime(synth, tmp_path):
     # BaselineHandler accumulation (used by the parity harness's _refregime
     # arm to emulate the reference's batch_size=1 + bp_every_batch=16 regime,
