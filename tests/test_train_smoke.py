@@ -202,3 +202,25 @@ def test_baseline_grad_accum_refregime(synth, tmp_path):
         pytest.approx(lr0 * 0.5, rel=1e-6)
     metrics = handler.exec()
     assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+def test_adv_semi_supervised_with_pretrain_phase(synth, tmp_path):
+    # the optional supervised first phase (reference exec_semi_sl has it
+    # built but skipped by default — model_handler.py:723); ssl_first_phase
+    # turns it on here
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, semi_training=True,
+                   semi_training_mode="LD", ssl_epochs=2, ssl_first_phase=True,
+                   epochs=2)
+    handler = AdvHandler(cfg)
+    metrics = handler.exec_semi_sl()
+    assert "validation" in metrics
+
+
+def test_model_stats_surface():
+    # params + compiled-FLOPs profiling (reference model_stats.py:142-180
+    # analogue via XLA cost analysis)
+    from advmil_tpu.stats import backbone_stats
+    s = backbone_stats("abmil", [64, 32, 32], 64)
+    assert s["params"] > 0
+    assert np.isfinite(s["flops_forward"]) and s["flops_forward"] > 0
