@@ -23,7 +23,9 @@ from .layers import (DenseInit, GatedAttention, GAPool,
                      TransformerEncoderLayer, make_dense, make_embedding_layer,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
-from ..ops.segment import gather_rows_rev, knn_edge_softmax_aggregate
+from ..ops.attention import pallas_available
+from ..ops.segment import (fused_knn_softmax_aggregate, gather_rows_rev,
+                           knn_edge_softmax_aggregate)
 from ..ops.pe import compute_pe
 
 
@@ -92,6 +94,7 @@ class GENConv(nn.Module):
     dim: int
     eps: float = 1e-7
     dense_init: str = DenseInit.XAVIER
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, edge_src, edge_mask, rev_idx=None, rev_mask=None,
@@ -107,7 +110,11 @@ class GENConv(nn.Module):
             msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
         else:
             msg = xr[edge_src] + self.eps               # [N, epn, C] gather
-        aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
+        # fused one-HBM-pass Pallas aggregation on TPU; jnp chain elsewhere
+        if self.use_pallas and pallas_available():
+            aggr = fused_knn_softmax_aggregate(msg, edge_mask, t[0])
+        else:
+            aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
         h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
@@ -125,10 +132,12 @@ class DeepGCNBlock(nn.Module):
     dropout: float = 0.1
     dense_init: str = DenseInit.XAVIER
     det: bool = True  # static field so nn.remat sees no traced bool arg
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, edge_index, edge_mask, rev_idx=None, rev_mask=None):
-        h = GENConv(self.dim, dense_init=self.dense_init, name="conv")(
+        h = GENConv(self.dim, dense_init=self.dense_init,
+                    use_pallas=self.use_pallas, name="conv")(
             x, edge_index, edge_mask, rev_idx, rev_mask,
             deterministic=self.det)
         h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
@@ -146,6 +155,7 @@ class PatchGCN(nn.Module):
     num_layers: int = 1
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -162,7 +172,8 @@ class PatchGCN(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         # first layer applies the bare conv (reference model/backbone.py:157)
-        conv0 = GENConv(dim_hid, dense_init=self.dense_init, name="layer0_conv")
+        conv0 = GENConv(dim_hid, dense_init=self.dense_init,
+                        use_pallas=self.use_pallas, name="layer0_conv")
         h0 = _vmap_graph(conv0, h, edge_index, edge_mask, rev_idx, rev_mask,
                          deterministic=deterministic)
         feats = [h, h0]
@@ -170,7 +181,8 @@ class PatchGCN(nn.Module):
         for i in range(1, self.num_layers):
             blk_cls = nn.remat(DeepGCNBlock) if (i + 1) % 3 else DeepGCNBlock
             blk = blk_cls(dim_hid, dense_init=self.dense_init,
-                          det=deterministic, name=f"layer{i}")
+                          det=deterministic, use_pallas=self.use_pallas,
+                          name=f"layer{i}")
             cur = _vmap_graph(blk, cur, edge_index, edge_mask, rev_idx,
                               rev_mask)
             feats.append(cur)
@@ -263,5 +275,6 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
     if mode == "cluster":
         return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)
     if mode == "graph":
-        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25, dense_init=dense_init)
+        return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25,
+                        dense_init=dense_init, use_pallas=use_pallas)
     return ABMIL(dims, dropout=0.25, dense_init=dense_init)

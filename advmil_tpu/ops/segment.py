@@ -7,9 +7,18 @@ edges [E, 2] (dst, src) with edge mask. Batched via vmap.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
 
 
 def segment_softmax_aggregate(messages: jnp.ndarray, dst: jnp.ndarray,
@@ -118,6 +127,150 @@ def build_reverse_edge_table(edge_src: np.ndarray, edge_mask: np.ndarray,
     rev_idx[src_s, rpos] = flat_s
     rev_mask[src_s, rpos] = 1.0
     return rev_idx, rev_mask
+
+
+def _fused_agg_fwd_kernel(t_ref, em_ref, msg_ref, o_ref, *, nb, epn):
+    i = pl.program_id(0)
+    t = t_ref[0, 0]
+    m = msg_ref[:].astype(jnp.float32).reshape(nb, epn, -1)  # [nb, epn, C]
+    em = em_ref[pl.ds(i * nb, nb), :]                        # [nb, epn]
+    mb = em[:, :, None] > 0   # insert the minor dim on f32 (Mosaic limit)
+    s = m * t
+    smax = jnp.max(jnp.where(mb, s, -1e30), axis=1, keepdims=True)
+    smax = jnp.where(smax <= -1e29, 0.0, smax)   # zero-edge nodes
+    ex = jnp.where(mb, jnp.exp(s - smax), 0.0)
+    den = jnp.sum(ex, axis=1, keepdims=True)
+    alpha = ex / jnp.maximum(den, 1e-16)
+    o_ref[:] = jnp.sum(alpha * m, axis=1).astype(o_ref.dtype)
+
+
+def _fused_agg_bwd_kernel(t_ref, em_ref, msg_ref, g_ref, dm_ref, dt_ref,
+                          *, nb, epn):
+    i = pl.program_id(0)
+    t = t_ref[0, 0]
+    m = msg_ref[:].astype(jnp.float32).reshape(nb, epn, -1)
+    em = em_ref[pl.ds(i * nb, nb), :]
+    mb = em[:, :, None] > 0   # insert the minor dim on f32 (Mosaic limit)
+    s = m * t
+    smax = jnp.max(jnp.where(mb, s, -1e30), axis=1, keepdims=True)
+    smax = jnp.where(smax <= -1e29, 0.0, smax)   # zero-edge nodes
+    ex = jnp.where(mb, jnp.exp(s - smax), 0.0)
+    den = jnp.sum(ex, axis=1, keepdims=True)
+    alpha = ex / jnp.maximum(den, 1e-16)
+    out = jnp.sum(alpha * m, axis=1, keepdims=True)           # [nb, 1, C]
+    g = g_ref[:].astype(jnp.float32)[:, None, :]              # [nb, 1, C]
+    # d out / d m_r = alpha_r * (1 + t * (m_r - out))   (channel-wise softmax)
+    dm = g * alpha * (1.0 + t * (m - out))
+    dm_ref[:] = dm.reshape(nb * epn, -1).astype(dm_ref.dtype)
+    # d out / d t = sum_s alpha_s * m_s * (m_s - out); block-partial scalar
+    dt = jnp.sum(g[:, 0, :] * jnp.sum(alpha * m * (m - out), axis=1))
+    # full (8, 128) tile per block (TPU tiling minimum, incl. under vmap);
+    # the wrapper sums all entries and divides by the exact 2^10 tile size
+    dt_ref[:] = jnp.full((8, 128), dt, jnp.float32)
+
+
+def _fused_agg_call(messages2, edge_mask, t, nb, epn, C, interpret):
+    """pallas_call plumbing shared by primal and fwd; messages2 is the
+    row-flattened [Np*epn, C] message table."""
+    npad = messages2.shape[0] // epn
+    grid = (npad // nb,)
+    return pl.pallas_call(
+        functools.partial(_fused_agg_fwd_kernel, nb=nb, epn=epn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # t [1, 1]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [Np, epn] mask
+            pl.BlockSpec((nb * epn, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, C), messages2.dtype),
+        interpret=interpret,
+    )(t.reshape(1, 1).astype(jnp.float32), edge_mask.astype(jnp.float32),
+      messages2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_knn_softmax_aggregate(messages, edge_mask, t, interpret=False):
+    """Pallas-fused version of :func:`knn_edge_softmax_aggregate`.
+
+    One HBM pass over the [N, epn, C] message table per direction instead of
+    the several passes XLA emits for the gather->max->exp->sum->div->reduce
+    chain (BENCHNOTES.md: the chain, not the matmuls, dominates PatchGCN).
+    messages: [N, epn, C]; edge_mask: [N, epn]; t: scalar temperature.
+    Exact same semantics as the jnp path, which remains the oracle in tests.
+    """
+    N, epn, C = messages.shape
+    epn_p, c_p = _agg_pad_dims(epn, C)
+    nb = _agg_block(N, epn_p, c_p)
+    npad = ((N + nb - 1) // nb) * nb
+    msg2 = jnp.pad(messages, ((0, npad - N), (0, epn_p - epn), (0, c_p - C)))
+    msg2 = msg2.reshape(npad * epn_p, c_p)
+    em = jnp.pad(edge_mask, ((0, npad - N), (0, epn_p - epn)))
+    out = _fused_agg_call(msg2, em, jnp.asarray(t), nb, epn_p, c_p, interpret)
+    return out[:N, :C]
+
+
+def _agg_pad_dims(epn: int, C: int):
+    # Mosaic needs tile-aligned shapes for the in-kernel [nb*epn, C] ->
+    # [nb, epn, C] reshape — unaligned dims (e.g. the default epn=9, or
+    # C < 128) blow the scoped-VMEM stack with relayout temporaries. Padding
+    # slots carry edge_mask 0 (exact) and padded channels are sliced off.
+    return -(-epn // 8) * 8, -(-C // 128) * 128
+
+
+def _agg_block(N, epn, C) -> int:
+    # block rows (nodes) sized so the bf16 message block stays ~<=512 KB
+    nb = max(8, min(128, (1 << 19) // max(2 * epn * C, 1)))
+    return max(8, (nb // 8) * 8)
+
+
+def _fused_agg_vjp_fwd(messages, edge_mask, t, interpret):
+    out = fused_knn_softmax_aggregate(messages, edge_mask, t, interpret)
+    return out, (messages, edge_mask, jnp.asarray(t))
+
+
+def _fused_agg_vjp_bwd(interpret, res, g):
+    messages, edge_mask, t = res
+    N, epn, C = messages.shape
+    epn_p, c_p = _agg_pad_dims(epn, C)
+    nb = _agg_block(N, epn_p, c_p)
+    npad = ((N + nb - 1) // nb) * nb
+    msg2 = jnp.pad(messages, ((0, npad - N), (0, epn_p - epn), (0, c_p - C)))
+    msg2 = msg2.reshape(npad * epn_p, c_p)
+    em = jnp.pad(edge_mask, ((0, npad - N), (0, epn_p - epn)))
+    gp = jnp.pad(g, ((0, npad - N), (0, c_p - C)))
+    grid = (npad // nb,)
+    dm2, dtp = pl.pallas_call(
+        functools.partial(_fused_agg_bwd_kernel, nb=nb, epn=epn_p),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * epn_p, c_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, c_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb * epn_p, c_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad * epn_p, c_p), messages.dtype),
+            jax.ShapeDtypeStruct((npad // nb * 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(t.reshape(1, 1).astype(jnp.float32), em.astype(jnp.float32), msg2, gp)
+    dmsg = dm2.reshape(npad, epn_p, c_p)[:N, :epn, :C]
+    dt = (jnp.sum(dtp) / 1024.0).astype(t.dtype).reshape(jnp.shape(t))
+    return dmsg, jnp.zeros_like(edge_mask), dt
+
+
+fused_knn_softmax_aggregate.defvjp(_fused_agg_vjp_fwd, _fused_agg_vjp_bwd)
 
 
 def knn_edge_softmax_aggregate(messages: jnp.ndarray, edge_mask: jnp.ndarray,

@@ -152,6 +152,56 @@ class TestPatchGCN:
                                    rtol=1e-5, atol=1e-6)
         assert keep.sum() > 0
 
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_fused_pallas_aggregate_matches_oracle(self, dtype):
+        # fused one-pass Pallas softmax aggregation (interpret mode on CPU)
+        # must equal the jnp chain: values, message grads, and the learnable
+        # temperature grad — including a zero-edge node and masked slots
+        from advmil_tpu.ops.segment import (fused_knn_softmax_aggregate,
+                                            knn_edge_softmax_aggregate)
+        rng = np.random.default_rng(7)
+        n, epn, c = 40, 4, 128
+        msg = jnp.asarray(rng.normal(size=(n, epn, c)), dtype)
+        em = (rng.uniform(size=(n, epn)) < 0.75).astype(np.float32)
+        em[5] = 0.0                                    # zero-edge node
+        em = jnp.asarray(em)
+        t = jnp.float32(1.45)
+        ref = knn_edge_softmax_aggregate(msg, em, t)
+        got = fused_knn_softmax_aggregate(msg, em, t, True)
+        tol = 1e-6 if dtype == "float32" else 2e-2
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=tol)
+        assert np.all(np.asarray(got, np.float32)[5] == 0.0)
+
+        def loss(fn, m, tt):
+            return jnp.sum(fn(m, tt).astype(jnp.float32) ** 2)
+
+        gr_m, gr_t = jax.grad(
+            lambda m, tt: loss(lambda a, b: knn_edge_softmax_aggregate(a, em, b), m, tt),
+            argnums=(0, 1))(msg, t)
+        gf_m, gf_t = jax.grad(
+            lambda m, tt: loss(lambda a, b: fused_knn_softmax_aggregate(a, em, b, True), m, tt),
+            argnums=(0, 1))(msg, t)
+        np.testing.assert_allclose(np.asarray(gf_m, np.float32),
+                                   np.asarray(gr_m, np.float32), atol=tol * 40)
+        np.testing.assert_allclose(float(gf_t), float(gr_t),
+                                   rtol=1e-4 if dtype == "float32" else 3e-2)
+
+    def test_fused_pallas_aggregate_vmapped(self):
+        # the kernel runs under nn.vmap inside PatchGCN — the vmapped call
+        # must agree with the per-graph oracle
+        from advmil_tpu.ops.segment import (fused_knn_softmax_aggregate,
+                                            knn_edge_softmax_aggregate)
+        rng = np.random.default_rng(8)
+        b, n, epn, c = 3, 24, 3, 128
+        msg = jnp.asarray(rng.normal(size=(b, n, epn, c)), jnp.float32)
+        em = jnp.asarray((rng.uniform(size=(b, n, epn)) < 0.8), jnp.float32)
+        t = jnp.float32(0.8)
+        ref = jax.vmap(lambda m, e: knn_edge_softmax_aggregate(m, e, t))(msg, em)
+        got = jax.vmap(
+            lambda m, e: fused_knn_softmax_aggregate(m, e, t, True))(msg, em)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
     def test_reverse_table_is_exact_transpose(self):
         from advmil_tpu.ops.segment import build_reverse_edge_table
         rng = np.random.default_rng(3)
