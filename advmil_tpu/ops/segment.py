@@ -129,11 +129,16 @@ def build_reverse_edge_table(edge_src: np.ndarray, edge_mask: np.ndarray,
     return rev_idx, rev_mask
 
 
-def _fused_agg_fwd_kernel(t_ref, em_ref, msg_ref, o_ref, *, nb, epn):
-    i = pl.program_id(0)
+def _alpha_from_block(t_ref, em_ref, msg_ref, nb, epn):
+    """Shared recomputation for both kernels: (m, alpha) of one node block.
+
+    The numerically sensitive part (masked max with the zero-edge reset, the
+    Mosaic-safe minor-dim insertion on f32) lives ONLY here so forward and
+    backward can never drift apart.
+    """
     t = t_ref[0, 0]
     m = msg_ref[:].astype(jnp.float32).reshape(nb, epn, -1)  # [nb, epn, C]
-    em = em_ref[pl.ds(i * nb, nb), :]                        # [nb, epn]
+    em = em_ref[:]                                           # [nb, epn]
     mb = em[:, :, None] > 0   # insert the minor dim on f32 (Mosaic limit)
     s = m * t
     smax = jnp.max(jnp.where(mb, s, -1e30), axis=1, keepdims=True)
@@ -141,22 +146,17 @@ def _fused_agg_fwd_kernel(t_ref, em_ref, msg_ref, o_ref, *, nb, epn):
     ex = jnp.where(mb, jnp.exp(s - smax), 0.0)
     den = jnp.sum(ex, axis=1, keepdims=True)
     alpha = ex / jnp.maximum(den, 1e-16)
+    return t, m, alpha
+
+
+def _fused_agg_fwd_kernel(t_ref, em_ref, msg_ref, o_ref, *, nb, epn):
+    _, m, alpha = _alpha_from_block(t_ref, em_ref, msg_ref, nb, epn)
     o_ref[:] = jnp.sum(alpha * m, axis=1).astype(o_ref.dtype)
 
 
 def _fused_agg_bwd_kernel(t_ref, em_ref, msg_ref, g_ref, dm_ref, dt_ref,
                           *, nb, epn):
-    i = pl.program_id(0)
-    t = t_ref[0, 0]
-    m = msg_ref[:].astype(jnp.float32).reshape(nb, epn, -1)
-    em = em_ref[pl.ds(i * nb, nb), :]
-    mb = em[:, :, None] > 0   # insert the minor dim on f32 (Mosaic limit)
-    s = m * t
-    smax = jnp.max(jnp.where(mb, s, -1e30), axis=1, keepdims=True)
-    smax = jnp.where(smax <= -1e29, 0.0, smax)   # zero-edge nodes
-    ex = jnp.where(mb, jnp.exp(s - smax), 0.0)
-    den = jnp.sum(ex, axis=1, keepdims=True)
-    alpha = ex / jnp.maximum(den, 1e-16)
+    t, m, alpha = _alpha_from_block(t_ref, em_ref, msg_ref, nb, epn)
     out = jnp.sum(alpha * m, axis=1, keepdims=True)           # [nb, 1, C]
     g = g_ref[:].astype(jnp.float32)[:, None, :]              # [nb, 1, C]
     # d out / d m_r = alpha_r * (1 + t * (m_r - out))   (channel-wise softmax)
@@ -169,26 +169,17 @@ def _fused_agg_bwd_kernel(t_ref, em_ref, msg_ref, g_ref, dm_ref, dt_ref,
     dt_ref[:] = jnp.full((8, 128), dt, jnp.float32)
 
 
-def _fused_agg_call(messages2, edge_mask, t, nb, epn, C, interpret):
-    """pallas_call plumbing shared by primal and fwd; messages2 is the
-    row-flattened [Np*epn, C] message table."""
-    npad = messages2.shape[0] // epn
-    grid = (npad // nb,)
-    return pl.pallas_call(
-        functools.partial(_fused_agg_fwd_kernel, nb=nb, epn=epn),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # t [1, 1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [Np, epn] mask
-            pl.BlockSpec((nb * epn, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nb, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, C), messages2.dtype),
-        interpret=interpret,
-    )(t.reshape(1, 1).astype(jnp.float32), edge_mask.astype(jnp.float32),
-      messages2)
+def _agg_padded_inputs(messages, edge_mask):
+    """Shared pad/flatten plumbing for primal and backward: returns the
+    row-flattened tile-aligned message table, padded mask, and geometry."""
+    N, epn, C = messages.shape
+    epn_p, c_p = _agg_pad_dims(epn, C)
+    nb = _agg_block(N, epn_p, c_p)
+    npad = ((N + nb - 1) // nb) * nb
+    msg2 = jnp.pad(messages, ((0, npad - N), (0, epn_p - epn), (0, c_p - C)))
+    msg2 = msg2.reshape(npad * epn_p, c_p)
+    em = jnp.pad(edge_mask, ((0, npad - N), (0, epn_p - epn)))
+    return msg2, em, nb, npad, epn_p, c_p
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -202,13 +193,23 @@ def fused_knn_softmax_aggregate(messages, edge_mask, t, interpret=False):
     Exact same semantics as the jnp path, which remains the oracle in tests.
     """
     N, epn, C = messages.shape
-    epn_p, c_p = _agg_pad_dims(epn, C)
-    nb = _agg_block(N, epn_p, c_p)
-    npad = ((N + nb - 1) // nb) * nb
-    msg2 = jnp.pad(messages, ((0, npad - N), (0, epn_p - epn), (0, c_p - C)))
-    msg2 = msg2.reshape(npad * epn_p, c_p)
-    em = jnp.pad(edge_mask, ((0, npad - N), (0, epn_p - epn)))
-    out = _fused_agg_call(msg2, em, jnp.asarray(t), nb, epn_p, c_p, interpret)
+    msg2, em, nb, npad, epn_p, c_p = _agg_padded_inputs(messages, edge_mask)
+    out = pl.pallas_call(
+        functools.partial(_fused_agg_fwd_kernel, nb=nb, epn=epn_p),
+        grid=(npad // nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # t [1, 1]
+            pl.BlockSpec((nb, epn_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * epn_p, c_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, c_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, c_p), messages.dtype),
+        interpret=interpret,
+    )(jnp.asarray(t).reshape(1, 1).astype(jnp.float32),
+      em.astype(jnp.float32), msg2)
     return out[:N, :C]
 
 
@@ -234,12 +235,7 @@ def _fused_agg_vjp_fwd(messages, edge_mask, t, interpret):
 def _fused_agg_vjp_bwd(interpret, res, g):
     messages, edge_mask, t = res
     N, epn, C = messages.shape
-    epn_p, c_p = _agg_pad_dims(epn, C)
-    nb = _agg_block(N, epn_p, c_p)
-    npad = ((N + nb - 1) // nb) * nb
-    msg2 = jnp.pad(messages, ((0, npad - N), (0, epn_p - epn), (0, c_p - C)))
-    msg2 = msg2.reshape(npad * epn_p, c_p)
-    em = jnp.pad(edge_mask, ((0, npad - N), (0, epn_p - epn)))
+    msg2, em, nb, npad, epn_p, c_p = _agg_padded_inputs(messages, edge_mask)
     gp = jnp.pad(g, ((0, npad - N), (0, c_p - C)))
     grid = (npad // nb,)
     dm2, dtp = pl.pallas_call(
@@ -247,7 +243,8 @@ def _fused_agg_vjp_bwd(interpret, res, g):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, epn_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((nb * epn_p, c_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, c_p), lambda i: (i, 0),

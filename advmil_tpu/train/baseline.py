@@ -324,7 +324,7 @@ class BaselineHandler:
                     if k == val_name:
                         # 'ci' = reference's inverted semantics; 'ci_max' =
                         # corrected opt-in (negated for min-tracking)
-                        mm = cfg["monitor_metrics"]
+                        mm = cfg.get("monitor_metrics", "loss")
                         val_metrics = (ci if mm == "ci"
                                        else -ci if mm == "ci_max" else lo)
             if val_metrics is not None and self.early_stop is not None:

@@ -466,7 +466,7 @@ class AdvHandler:
                         # (monitored as a loss -> saves the MINIMUM c-index;
                         # COVERAGE.md quirks). 'ci_max' is the corrected
                         # opt-in: negate so min-tracking maximizes c-index.
-                        mm = cfg["monitor_metrics"]
+                        mm = cfg.get("monitor_metrics", "loss")
                         val_metrics = (met_ci if mm == "ci"
                                        else -met_ci if mm == "ci_max"
                                        else met_loss)
