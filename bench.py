@@ -257,10 +257,12 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
         _ = float(out["avg_y_hat"].sum())
         return time.perf_counter() - t0
 
-    chain(2)
-    d_short = chain(CHAIN_SHORT)
-    d_long = chain(CHAIN_LONG)
-    per_step = (d_long - d_short) / (CHAIN_LONG - CHAIN_SHORT)
+    # the eval step is ~4x faster than the train step: use 4x the chain
+    # lengths so the marginal window stays well above dispatch noise
+    chain(4)
+    d_short = chain(4 * CHAIN_SHORT)
+    d_long = chain(4 * CHAIN_LONG)
+    per_step = (d_long - d_short) / (4 * (CHAIN_LONG - CHAIN_SHORT))
     bags = batch_b / per_step
     return {
         "metric": "gansurv_esat_eval30_throughput",
