@@ -62,3 +62,39 @@ def test_instance_sharding_grad_matches(model_cls=ABMIL):
     for g, w in zip(jax.tree_util.tree_leaves(got),
                     jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=3e-5)
+
+
+def test_instance_sharding_graph_mode():
+    # graph mode under the 2-D mesh: feats shard over 'inst' but the GNN
+    # gathers reference global node indices — GSPMD must insert the
+    # collectives and reproduce the unsharded result (edge tables ride the
+    # data axis only, see parallel/mesh.shard_batch_2d)
+    from advmil_tpu.models.backbones import PatchGCN
+    model = PatchGCN((64, 32, 32), num_layers=2)
+    B, N, epn = 2, 256, 4
+    x = jnp.asarray(RNG.normal(size=(B, N, 64)), jnp.float32)
+    mask = np.ones((B, N), np.float32)
+    mask[0, 192:] = 0
+    esrc = RNG.integers(0, 192, size=(B, N, epn)).astype(np.int32)
+    em = np.ones((B, N, epn), np.float32)
+    em[0, 192:] = 0
+    extra = {"edge_src": jnp.asarray(esrc), "edge_mask": jnp.asarray(em)}
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x,
+                           jnp.asarray(mask), extra, deterministic=True)
+    want = model.apply(variables, x, jnp.asarray(mask), extra,
+                       deterministic=True)
+
+    mesh = make_mesh_2d(2, 4)
+    batch = shard_batch_2d({"feats": np.asarray(x), "mask": mask,
+                            "edge_src": esrc, "edge_mask": em}, mesh)
+    params = replicate_state(variables, mesh)
+
+    @jax.jit
+    def fwd(v, feats, m, es, e):
+        return model.apply(v, feats, m, {"edge_src": es, "edge_mask": e},
+                           deterministic=True)
+
+    got = fwd(params, batch["feats"], batch["mask"], batch["edge_src"],
+              batch["edge_mask"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
