@@ -146,6 +146,23 @@ def test_adv_test_mode(synth, tmp_path):
     handler = AdvHandler(cfg2)
     metrics = handler.exec_test()
     assert "exec-test" in metrics
+    # test_path selects which split is evaluated (reference
+    # model_handler.py:196-204 allows train/val/test)
+    for split in ("train", "val"):
+        cfg3 = base_cfg(synth, tmp_path, test=True, times_test_sample=2,
+                        test_path=split)
+        m = AdvHandler(cfg3).exec_test()
+        assert "exec-test" in m
+
+
+def test_adv_semi_supervised_ud_only(synth, tmp_path):
+    # UD mode: unlabeled data only in phase 2 (reference
+    # model_handler.py:757-768); completes the UD / LD / UD+LD matrix
+    from advmil_tpu.train.handler import AdvHandler
+    cfg = base_cfg(synth, tmp_path, semi_training=True,
+                   semi_training_mode="UD", ssl_epochs=2)
+    metrics = AdvHandler(cfg).exec_semi_sl()
+    assert "validation" in metrics
 
 
 def test_plateau_lr_survives_grad_accum(synth, tmp_path):
