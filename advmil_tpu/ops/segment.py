@@ -42,7 +42,10 @@ def segment_softmax_aggregate(messages: jnp.ndarray, dst: jnp.ndarray,
         jnp.where(edge_mask[:, None].astype(bool), scaled, -jnp.inf),
         seg, num_segments=num_nodes + 1, indices_are_sorted=True)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    ex = jnp.exp(scaled - seg_max[seg]) * edge_mask[:, None].astype(messages.dtype)
+    # where-select BEFORE exp: a large message in a masked slot would
+    # overflow exp to inf and inf*0 = NaN under the multiplicative form
+    ex = jnp.where(edge_mask[:, None].astype(bool),
+                   jnp.exp(scaled - seg_max[seg]), 0.0).astype(messages.dtype)
     denom = jax.ops.segment_sum(ex, seg, num_segments=num_nodes + 1,
                                 indices_are_sorted=True)
     alpha = ex / jnp.maximum(denom[seg], 1e-16)
@@ -292,7 +295,9 @@ def knn_edge_softmax_aggregate(messages: jnp.ndarray, edge_mask: jnp.ndarray,
     masked = jnp.where(mb, scaled, neg)
     m = jnp.max(masked, axis=1, keepdims=True)          # [N, 1, C]
     m = jnp.where(jnp.isfinite(m), m, 0.0)
-    ex = jnp.exp(scaled - m) * mb.astype(messages.dtype)
+    # where-select BEFORE exp (see segment_softmax_aggregate; keeps this
+    # oracle path NaN-free exactly like the fused Pallas kernel)
+    ex = jnp.where(mb, jnp.exp(scaled - m), 0.0).astype(messages.dtype)
     denom = jnp.sum(ex, axis=1, keepdims=True)
     alpha = ex / jnp.maximum(denom, 1e-16)
     return jnp.sum(alpha * messages, axis=1)            # [N, C]

@@ -7,12 +7,19 @@ collectives over ICI within a slice and DCN across slices, and the data
 pipeline feeds each process only its local shard of the global batch.
 
 Config keys (all optional — absent means single-process):
+  dist_init:          "auto" -> bare ``jax.distributed.initialize()``, which
+                      auto-detects coordinator/rank from the TPU pod
+                      metadata server (use this on real pods)
   dist_coordinator:   "host:port" of process 0
   dist_num_processes: total process count
   dist_process_id:    this process's rank
-Environment fallbacks: ADVMIL_COORDINATOR / ADVMIL_NUM_PROCESSES /
-ADVMIL_PROCESS_ID. On real TPU pods all three may be omitted entirely —
-``jax.distributed.initialize()`` auto-detects from the TPU metadata server.
+Environment fallbacks: ADVMIL_DIST_INIT / ADVMIL_COORDINATOR /
+ADVMIL_NUM_PROCESSES / ADVMIL_PROCESS_ID.
+
+Multi-host checkpointing note: only the primary process writes checkpoints,
+and every process restores from ``save_path`` — on a pod, point save_path
+at a filesystem shared by all hosts (e.g. NFS/GCS-fuse), or restore hangs
+the primary at the next collective while non-primaries fail the load.
 """
 from __future__ import annotations
 
@@ -37,6 +44,12 @@ def maybe_initialize(cfg: dict | None = None) -> bool:
 
     if jax.distributed.is_initialized():
         return True
+    if str(_lookup(cfg, "dist_init", "ADVMIL_DIST_INIT") or "").lower() == "auto":
+        # real TPU pod: bare initialize() auto-detects from pod metadata
+        jax.distributed.initialize()
+        print(f"[dist] auto-initialized process {jax.process_index()} / "
+              f"{jax.process_count()}")
+        return jax.process_count() > 1
     num = _lookup(cfg, "dist_num_processes", "ADVMIL_NUM_PROCESSES")
     if num is None or int(num) <= 1:
         return False

@@ -27,7 +27,8 @@ def flops_of(fn, *args) -> float:
     return float(cost.get("flops", float("nan")))
 
 
-def backbone_stats(mode: str, dims, n_patches: int, batch: int = 1) -> dict:
+def backbone_stats(mode: str, dims, n_patches: int, batch: int = 1,
+                   edges_per_node: int = 9) -> dict:
     import jax
     import jax.numpy as jnp
     from .models.backbones import load_backbone
@@ -42,8 +43,10 @@ def backbone_stats(mode: str, dims, n_patches: int, batch: int = 1) -> dict:
     if mode == "cluster":
         extra = jnp.zeros((batch, n), jnp.int32)
     elif mode == "graph":
-        extra = {"edge_src": jnp.zeros((batch, n, 8), jnp.int32),
-                 "edge_mask": jnp.ones((batch, n, 8), jnp.float32)}
+        # default matches config graph_edges_per_node
+        epn = edges_per_node
+        extra = {"edge_src": jnp.zeros((batch, n, epn), jnp.int32),
+                 "edge_mask": jnp.ones((batch, n, epn), jnp.float32)}
     else:
         extra = None
     key = jax.random.PRNGKey(0)

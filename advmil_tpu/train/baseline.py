@@ -156,6 +156,9 @@ class BaselineHandler:
         ip = int(cfg.get("inst_devices", 1) or 1)
         if self.multi_host:
             from ..parallel.dist import global_mesh, replicate_global
+            if ip > 1:
+                print("[parallel] WARNING: inst_devices is ignored in "
+                      "multi-host runs (pure data-parallel global mesh)")
             self.mesh = global_mesh()
             self.state = replicate_global(self.state, self.mesh)
             print(f"[parallel] multi-host data-parallel: "
@@ -232,19 +235,22 @@ class BaselineHandler:
         return b
 
     def _to_device(self, batch):
-        fdt = (jnp.bfloat16 if self.cfg.get("precision") in ("bf16", "bfloat16")
-               else jnp.float32)
-        dev = {"feats": np.asarray(batch.feats) if fdt == jnp.float32
-               else jnp.asarray(batch.feats, fdt),
+        bf16 = self.cfg.get("precision") in ("bf16", "bfloat16")
+        dev = {"feats": np.asarray(batch.feats),
                "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask,
                "visible": batch.sample_mask}
         dev.update(batch.extra)
         if self.multi_host:
+            # slice first, then cast in numpy (see AdvHandler._to_device)
             from ..parallel.dist import make_global_batch, process_local_slice
             sl = process_local_slice(len(batch.sample_mask))
             local = {k: np.asarray(v)[sl] for k, v in dev.items()}
+            if bf16:
+                local["feats"] = local["feats"].astype(jnp.bfloat16)
             return make_global_batch(local, self.mesh)
+        if bf16:
+            dev["feats"] = jnp.asarray(dev["feats"], jnp.bfloat16)
         if self.mesh is not None:
             if self.mesh_2d:
                 from ..parallel.mesh import shard_batch_2d

@@ -170,6 +170,9 @@ class AdvHandler:
             # are inserted by XLA. Batches are assembled per process from
             # host-local rows (parallel/dist.py).
             from ..parallel.dist import global_mesh, replicate_global
+            if ip > 1:
+                print("[parallel] WARNING: inst_devices is ignored in "
+                      "multi-host runs (pure data-parallel global mesh)")
             self.mesh = global_mesh()
             self.state = replicate_global(self.state, self.mesh)
             print(f"[parallel] multi-host data-parallel: "
@@ -261,19 +264,23 @@ class AdvHandler:
             visible = np.asarray(
                 [1.0 if self._pid_of(batch, j) in visible_set else 0.0
                  for j in range(len(batch.idx))], np.float32)
-        feats = batch.feats
-        if self.cfg.get("precision") in ("bf16", "bfloat16"):
-            feats = jnp.asarray(batch.feats, jnp.bfloat16)
-        dev = {"feats": feats, "mask": batch.mask, "label": batch.label,
+        bf16 = self.cfg.get("precision") in ("bf16", "bfloat16")
+        dev = {"feats": batch.feats, "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask, "visible": visible}
         dev.update(batch.extra)
         if self.multi_host:
             # every process builds the same global batch; ship only the
-            # process-local rows, assemble a global sharded array
+            # process-local rows, assemble a global sharded array. Slice
+            # FIRST, then cast in numpy: casting on device before slicing
+            # would round-trip the whole global feats through device 0
             from ..parallel.dist import make_global_batch, process_local_slice
             sl = process_local_slice(len(batch.sample_mask))
             local = {k: np.asarray(v)[sl] for k, v in dev.items()}
+            if bf16:
+                local["feats"] = local["feats"].astype(jnp.bfloat16)
             return make_global_batch(local, self.mesh)
+        if bf16:
+            dev["feats"] = jnp.asarray(dev["feats"], jnp.bfloat16)
         if self.mesh is not None:
             if self.mesh_2d:
                 from ..parallel.mesh import shard_batch_2d

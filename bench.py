@@ -128,11 +128,11 @@ def build_step(mode: str, batch_n: int, batch_b: int):
     return step, state, batch, gen, disc
 
 
-def compile_and_flops(step, state, batch):
-    """AOT-compile the step once, returning (compiled, seconds, step FLOPs)."""
+def compile_and_flops(step, *args):
+    """AOT-compile a jittable fn once, returning (compiled, seconds, FLOPs)."""
     import jax
     t0 = time.perf_counter()
-    lowered = jax.jit(step).lower(state, batch)
+    lowered = jax.jit(step).lower(*args)
     compiled = lowered.compile()
     secs = time.perf_counter() - t0
     cost = compiled.cost_analysis()
@@ -196,8 +196,10 @@ def bench_mixed_buckets() -> dict:
         batches.append(batch)
         flops_per.append(flops)
 
+    nshapes = len(shapes)
+
     def run(st, i):
-        return compiled_steps[i % 3](st, batches[i % 3])
+        return compiled_steps[i % nshapes](st, batches[i % nshapes])
 
     def chain(n):
         import jax
@@ -209,11 +211,10 @@ def bench_mixed_buckets() -> dict:
         _ = float(jnp.sum(jax.tree_util.tree_leaves(st.params_G)[0]))
         return time.perf_counter() - t0
 
-    chain(3)  # warm all shapes
-    d_short = chain(6)
-    d_long = chain(24)
-    steps = 24 - 6
-    per_cycle3 = (d_long - d_short) / (steps / 3)
+    chain(nshapes)  # warm all shapes
+    d_short = chain(2 * nshapes)
+    d_long = chain(8 * nshapes)
+    per_cycle3 = (d_long - d_short) / 6
     bags_per_cycle = sum(b for _, b in shapes)
     bags = bags_per_cycle / per_cycle3
     flops_cycle = sum(flops_per)
@@ -239,15 +240,8 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     eval_step = make_eval_step(gen, disc, bcb_mode="patch",
                                n_samples=n_samples)
     rng = jax.random.PRNGKey(0)
-    t0 = time.perf_counter()
-    lowered = jax.jit(eval_step).lower(state.params_G, state.params_D,
-                                       batch, rng)
-    compiled = lowered.compile()
-    compile_s = time.perf_counter() - t0
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = float(cost.get("flops", float("nan")))
+    compiled, compile_s, flops = compile_and_flops(
+        eval_step, state.params_G, state.params_D, batch, rng)
 
     def chain(n):
         t0 = time.perf_counter()
