@@ -30,6 +30,7 @@ TPU_DEFAULTS = {
     "dist_process_id": None,       # this process's rank
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
+    "flash_min_len": 256,          # region count where flash beats the einsum
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,
@@ -38,6 +39,7 @@ TPU_DEFAULTS = {
     "graph_scatter_free": "auto",  # reverse-edge-table backward: auto|on|off
     "cache_bags": True,
     "accum_steps": 1,
+    "ckpt_backend": "msgpack",     # msgpack (one file) | orbax (directory)
     "profile_dir": None,
     # persistent XLA compilation cache: bucket-shape compiles are the dominant
     # fixed cost of a run; later folds of a multi_run sweep hit this cache

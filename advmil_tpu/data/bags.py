@@ -248,9 +248,7 @@ class BucketBatcher:
         # needed columns stay <= roundup(2*epn, 8); 'on'/'off' force it.
         self.scatter_free = scatter_free
         # column cap beyond which 'auto' gives up (padded rev-gather loses to
-        # the scatter it replaces, BENCHNOTES.md); the actual column count
-        # grows monotonically from the OBSERVED out-degree (rounded to 8) so
-        # low-degree graphs get tight tables and recompiles stay bounded
+        # the scatter it replaces, BENCHNOTES.md)
         self._rev_cap = -(-2 * edges_per_node // 8) * 8
         self._rev_slots = 0
         self._rev_disabled = False
@@ -260,6 +258,28 @@ class BucketBatcher:
         self._by_bucket: dict = {}
         for i, b in enumerate(self.item_bucket):
             self._by_bucket.setdefault(int(b), []).append(i)
+        # Pre-scan the (static) bag graphs ONCE so the 'auto' decision and
+        # the reverse-table column count are fixed before the first batch
+        # (advisor r2): deciding mid-epoch would change the batch pytree
+        # structure (rev keys appearing/disappearing) or grow K, forcing
+        # train-step recompiles. The scan loads each graph once; with
+        # cache_bags they stay cached for epoch 1.
+        if dataset.mode == "graph" and scatter_free != "off":
+            kmax = 1
+            for i in range(len(sizes)):
+                e = dataset[i]["edge_index"]  # [2, E] (dst, src), dst-sorted
+                dst, src = e[0], e[1]
+                first = np.searchsorted(dst, dst, side="left")
+                kept = (np.arange(dst.shape[0]) - first) < edges_per_node
+                if kept.any():
+                    kmax = max(kmax, int(np.bincount(src[kept]).max()))
+            k_cols = -(-kmax // 8) * 8
+            if scatter_free == "auto" and k_cols > self._rev_cap:
+                # hub-heavy graphs: padded rev-gather would cost more than
+                # the scatter it replaces — use the scatter backward
+                self._rev_disabled = True
+            else:
+                self._rev_slots = k_cols
 
     def batch_size_for(self, bucket_n: int) -> int:
         bb = int(np.clip(self.token_budget // bucket_n, 1, self.max_batch))
@@ -382,27 +402,20 @@ class BucketBatcher:
             extra["edge_src"] = esrc
             extra["edge_mask"] = em
             # reverse tables: make the message-gather backward scatter-free
-            # (ops/segment.gather_rows_rev). Columns = running max out-degree
-            # rounded to 8 so the compiled shape stabilizes quickly.
-            if self.scatter_free != "off" and not (
-                    self.scatter_free == "auto" and self._rev_disabled):
-                revs = [build_reverse_edge_table(esrc[j], em[j])
-                        for j in range(bb)]
-                kmax = max(r[0].shape[1] for r in revs)
-                if self.scatter_free == "auto" and kmax > self._rev_cap:
-                    # hub-heavy graph: padded rev-gather would cost more than
-                    # the scatter it replaces — stick to the scatter backward
-                    self._rev_disabled = True
-                else:
-                    self._rev_slots = max(self._rev_slots, kmax)
-                    K = self._rev_slots
-                    rev_idx = np.zeros((bb, bucket_n, K), np.int32)
-                    rev_mask = np.zeros((bb, bucket_n, K), np.float32)
-                    for j, (ri, rm) in enumerate(revs):
-                        rev_idx[j, :, :ri.shape[1]] = ri
-                        rev_mask[j, :, :rm.shape[1]] = rm
-                    extra["rev_idx"] = rev_idx
-                    extra["rev_mask"] = rev_mask
+            # (ops/segment.gather_rows_rev). The column count K and the
+            # auto on/off decision were fixed by the construction-time
+            # pre-scan, so every batch shares one pytree structure and one
+            # compiled K.
+            if self.scatter_free != "off" and not self._rev_disabled:
+                K = self._rev_slots
+                rev_idx = np.zeros((bb, bucket_n, K), np.int32)
+                rev_mask = np.zeros((bb, bucket_n, K), np.float32)
+                for j in range(bb):
+                    ri, rm = build_reverse_edge_table(esrc[j], em[j], k=K)
+                    rev_idx[j] = ri
+                    rev_mask[j] = rm
+                extra["rev_idx"] = rev_idx
+                extra["rev_mask"] = rev_mask
         elif self.ds.mode == "patch" and "coords" in items[0]:
             # region-level coords: one per 16 patches
             Lb = bucket_n // 16

@@ -55,8 +55,16 @@ def make_synthetic_dataset(root: str, n_patients: int = 40, dim: int = 1024,
         else:
             np.save(osp.join(feat_dir, f"{sid}.npy"), feats)
         rows.append({"pathology_id": sid, "patient_id": pid, "e": e, "t": t})
-        # cluster ids (patient-level file, like tools/deepattnmisl_cluster.py)
+        # cluster ids (patient-level file, like tools/deepattnmisl_cluster.py).
+        # Guarantee every cluster is non-empty when n >= n_clusters: real
+        # k-means clusters are never empty, and the reference DeepAttMISL
+        # crashes on zero-size clusters (conv2d on a [1, d, 1, 0] input,
+        # reference model/backbone.py:110-113 checks emptiness only AFTER the
+        # conv). Deterministic overwrite of the first k entries — consumes no
+        # extra RNG draws, so the feature/label stream is unchanged.
         cids = rng.integers(0, n_clusters, size=n).astype(np.int64)
+        if n >= n_clusters:
+            cids[:n_clusters] = np.arange(n_clusters)
         np.save(osp.join(cluster_dir, f"{pid}.npy"), cids)
         # region coords on a grid + per-slide kNN graph over patch coords
         side = int(np.ceil(np.sqrt(n_regions)))

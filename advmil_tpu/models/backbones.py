@@ -231,6 +231,7 @@ class DualTransHS(nn.Module):
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
     use_fused_embed: bool = False
+    flash_min_len: int = 256
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -254,6 +255,7 @@ class DualTransHS(nn.Module):
             h = TransformerEncoderLayer(dim_hid, self.nhead, dim_hid,
                                         dropout=self.dropout, dense_init=self.dense_init,
                                         use_pallas=self.use_pallas,
+                                        flash_min_len=self.flash_min_len,
                                         name=f"encoder_{i}")(
                 h, rmask, deterministic=deterministic)
         return GAPool(dim_out, dim_out, dropout=self.dropout, dense_init=self.dense_init,
@@ -263,7 +265,8 @@ class DualTransHS(nn.Module):
 def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XAVIER,
                   use_pallas: bool = True, num_graph_layers: int = 1,
                   use_fused_embed: bool = False,
-                  tra_backbone: str = "Transformer") -> nn.Module:
+                  tra_backbone: str = "Transformer",
+                  flash_min_len: int = 256) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]
@@ -271,7 +274,8 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
         return DualTransHS(dims, nhead=8, num_layers=1, emb_ksize=1,
                            tra_backbone=tra_backbone,
                            dropout=0.25, dense_init=dense_init,
-                           use_pallas=use_pallas, use_fused_embed=use_fused_embed)
+                           use_pallas=use_pallas, use_fused_embed=use_fused_embed,
+                           flash_min_len=flash_min_len)
     if mode == "cluster":
         return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)
     if mode == "graph":

@@ -356,6 +356,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
+    flash_min_len: int = 256
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
@@ -370,7 +371,8 @@ class TransformerEncoderLayer(nn.Module):
         k = k.reshape(B, L, H, Dh)
         v = v.reshape(B, L, H, Dh)
         attn = _masked_mha(q, k, v, mask, self.dropout, deterministic, self,
-                           use_pallas=self.use_pallas)
+                           use_pallas=self.use_pallas,
+                           flash_min_len=self.flash_min_len)
         attn = attn.reshape(B, L, D)
         attn = make_dense(D, self.dense_init, in_features=D, name="out_proj")(attn)
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -386,17 +388,28 @@ class TransformerEncoderLayer(nn.Module):
 
 
 def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
-                use_pallas: bool):
+                use_pallas: bool, flash_min_len: int = 256):
     """Multi-head attention with key-padding mask.
 
     q,k,v: [B, L, H, Dh]; mask: [B, L] (1 = real). Uses the Pallas flash
-    kernel on TPU for long sequences, jnp einsum otherwise.
+    kernel on TPU once the (padded) region count reaches ``flash_min_len``
+    (the measured crossover vs the materializing einsum — see BENCHNOTES),
+    jnp einsum otherwise. The flash path is fully differentiable (custom
+    VJP) and applies attention-probability dropout inside the kernel via
+    the TPU core PRNG, so it serves training as well as eval.
     """
     B, L, H, Dh = q.shape
     scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
     if use_pallas:
         from ..ops.attention import masked_flash_attention, pallas_available
-        if pallas_available() and L >= 256 and Dh % 128 == 0:
+        if pallas_available() and L >= flash_min_len:
+            if dropout and not deterministic:
+                rng = module.make_rng("dropout")
+                seed = jax.random.randint(rng, (1,), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+                return masked_flash_attention(q, k, v, mask,
+                                              dropout_p=dropout, seed=seed)
             return masked_flash_attention(q, k, v, mask)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)

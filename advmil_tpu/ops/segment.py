@@ -80,6 +80,13 @@ def gather_rows_rev(x: jnp.ndarray, idx: jnp.ndarray, rev_idx: jnp.ndarray,
     x: [N, C]; idx: [N, epn] source row per edge slot; rev_idx: [N, K] flat
     indices into N*epn (row-major over idx); rev_mask: [N, K] 1 = real entry.
     Returns x[idx] = [N, epn, C].
+
+    CONTRACT (advisor r2): ``build_reverse_edge_table`` only indexes slots
+    with edge_mask > 0, so cotangents arriving on masked slots are silently
+    dropped — the caller must guarantee masked slots receive zero cotangent.
+    GENConv's softmax aggregation satisfies this (masked-slot weights are
+    exactly zero, so their gradient is zero); a new caller without that
+    property must build the reverse table over ALL epn slots instead.
     """
     del rev_idx, rev_mask
     return x[idx]

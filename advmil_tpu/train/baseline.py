@@ -16,25 +16,24 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import scatter_free_from_cfg as _scatter_free_cfg
 from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import SurvNet
 from ..models.layers import DenseInit
 from ..utils.func import (sparse_str, EarlyStopping, add_prefix_to_filename,
-                          print_config, print_metrics, rename_keys,
+                          print_metrics, rename_keys,
                           seed_everything)
 from ..utils.io import (read_datasplit_npz, read_maxt_from_table,
                         save_prediction)
-from ..utils.logging import RunLogger
 from . import checkpoint as ckpt_lib
+from .common import HandlerCommon
 from .optim import create_optimizer, ReduceLROnPlateau
 from .steps import (BaseTrainState, make_base_train_step, make_eval_step,
                     make_supervised_loss)
 
 
-class BaselineHandler:
+class BaselineHandler(HandlerCommon):
     def __init__(self, cfg: dict):
         assert cfg["task"] in ["surv_cox", "surv_nll", "surv_reg"]
         assert cfg["bcb_mode"] in ["patch", "cluster", "graph", "abmil"]
@@ -65,7 +64,8 @@ class BaselineHandler:
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
-                                 tra_backbone=cfg.get("tra_backbone", "Transformer"))
+                                 tra_backbone=cfg.get("tra_backbone", "Transformer"),
+                                 flash_min_len=cfg.get("flash_min_len", 256))
         dim_in, dim_out = sparse_str(cfg["pdh_dims"])
         self.model = SurvNet(backbone=backbone, dim_in=dim_in, dim_out=dim_out,
                              hops=cfg.get("mlp_hops", 1),
@@ -148,81 +148,17 @@ class BaselineHandler:
             self.metrics_list = ["c_index", "loss_ple"]
             self.ret_metrics = ["c_index", "loss_ple"]
 
-        # ---- data / instance / multi-host parallelism (mirrors AdvHandler) ----
-        self.mesh = None
-        self.mesh_2d = False
-        self.multi_host = jax.process_count() > 1
-        dp = int(cfg.get("dp_devices", 1) or 1)
-        ip = int(cfg.get("inst_devices", 1) or 1)
-        if self.multi_host:
-            from ..parallel.dist import global_mesh, replicate_global
-            if ip > 1:
-                print("[parallel] WARNING: inst_devices is ignored in "
-                      "multi-host runs (pure data-parallel global mesh)")
-            self.mesh = global_mesh()
-            self.state = replicate_global(self.state, self.mesh)
-            print(f"[parallel] multi-host data-parallel: "
-                  f"{jax.process_count()} processes x "
-                  f"{jax.local_device_count()} devices")
-        elif ip > 1:
-            from ..parallel.mesh import make_mesh_2d, replicate_state
-            self.mesh = make_mesh_2d(dp, ip)
-            self.mesh_2d = True
-            self.state = replicate_state(self.state, self.mesh)
-            print(f"[parallel] data x instance parallel over {dp}x{ip} devices")
-        elif dp > 1:
-            from ..parallel.mesh import make_mesh, replicate_state
-            self.mesh = make_mesh(dp)
-            self.state = replicate_state(self.state, self.mesh)
-            print(f"[parallel] data-parallel over {dp} devices")
-
-        self.patient_id = {}
-        self.np_rng = np.random.default_rng(cfg["seed"])
-        run_name = self.save_dir.rstrip("/").split("/")[-1]
-        from ..parallel.dist import is_primary
-        self.is_primary = is_primary()
-        self.logger = RunLogger(cfg.get("wandb_prj"), run_name, self.save_dir,
-                                config=cfg, enabled=self.is_primary)
-        if self.is_primary:
-            print_config(cfg, print_to_path=self.config_path)
-
-    # -- path / io plumbing (same contract as AdvHandler) --
-
-    def _setup_paths(self):
-        cfg = self.cfg
-        if cfg["test"]:
-            cfg["test_save_path"] = cfg["test_save_path"].format(
-                cfg["test_mask_ratio"], cfg["data_split_seed"])
-            cfg["test_load_path"] = cfg["test_load_path"].format(
-                cfg["data_split_seed"])
-            os.makedirs(cfg["test_save_path"], exist_ok=True)
-            self.save_dir = cfg["test_save_path"]
-            self.load_dir = cfg["test_load_path"]
-        else:
-            os.makedirs(cfg["save_path"], exist_ok=True)
-            self.save_dir = cfg["save_path"]
-            self.load_dir = cfg["save_path"]
-        self.config_path = osp.join(self.save_dir, "print_config.txt")
-        self.metrics_paths = {
-            "best": osp.join(self.save_dir, "metrics-best.txt"),
-            "last": osp.join(self.save_dir, "metrics-last.txt")}
+        # ---- data / instance / multi-host parallelism + logging (shared
+        # plumbing: train/common.py HandlerCommon) ----
+        self._setup_parallel()
+        self._setup_logging()
 
     def _ckpt_path(self, ckpt_type, run_name, load=False):
         base = self.load_dir if load else self.save_dir
         return osp.join(base, f"{run_name}_model-{ckpt_type}.ckpt")
 
     def _batcher(self, ds, for_train: bool = False):
-        multiple = (jax.device_count() if self.multi_host
-                    else int(self.cfg.get("dp_devices", 1) or 1))
-        b = BucketBatcher(ds, token_budget=self.cfg["batch_token_budget"],
-                          max_batch=self.cfg["batch_max_size"],
-                          min_bucket=self.cfg["bucket_min"],
-                          batch_multiple=multiple,
-                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
-                          # reverse tables only pay off in the backward pass
-                          scatter_free=(_scatter_free_cfg(self.cfg)
-                                        if for_train else "off"))
-        b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
+        b = self._make_bucket_batcher(ds, for_train)
         if self.task == "surv_cox":
             # Cox partial likelihood builds risk sets WITHIN a batch; a
             # single-bag batch contributes exactly zero loss/gradient
@@ -235,37 +171,12 @@ class BaselineHandler:
         return b
 
     def _to_device(self, batch):
-        bf16 = self.cfg.get("precision") in ("bf16", "bfloat16")
         dev = {"feats": np.asarray(batch.feats),
                "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask,
                "visible": batch.sample_mask}
         dev.update(batch.extra)
-        if self.multi_host:
-            # slice first, then cast in numpy (see AdvHandler._to_device)
-            from ..parallel.dist import make_global_batch, process_local_slice
-            sl = process_local_slice(len(batch.sample_mask))
-            local = {k: np.asarray(v)[sl] for k, v in dev.items()}
-            if bf16:
-                local["feats"] = local["feats"].astype(jnp.bfloat16)
-            return make_global_batch(local, self.mesh)
-        if bf16:
-            dev["feats"] = jnp.asarray(dev["feats"], jnp.bfloat16)
-        if self.mesh is not None:
-            if self.mesh_2d:
-                from ..parallel.mesh import shard_batch_2d
-                return shard_batch_2d(dev, self.mesh)
-            from ..parallel.mesh import shard_batch
-            return shard_batch(dev, self.mesh)
-        return {k: jnp.asarray(v) for k, v in dev.items()}
-
-    def _fetch(self, tree):
-        """Host-fetch device arrays; allgathered across processes when
-        multi-host (collective — same order on all processes)."""
-        if self.multi_host:
-            from ..parallel.dist import gather_to_hosts
-            return gather_to_hosts(tree)
-        return jax.device_get(tree)
+        return self._ship(dev)
 
     # -- exec / exec_test --
 
@@ -431,7 +342,9 @@ class BaselineHandler:
             raise FileNotFoundError(
                 f"checkpoint {ckpt} not found (no '{ckpt_type}' model was "
                 "saved — check es_warmup/epochs or test_load_path)")
-        _, params, _ = ckpt_lib.restore_checkpoint(ckpt, self.state.params)
+        _, params, _ = ckpt_lib.restore_checkpoint(
+            ckpt, self.state.params,
+            backend=self.cfg.get("ckpt_backend", "msgpack"))
         if self.multi_host:
             from ..parallel.dist import replicate_global
             params = replicate_global(params, self.mesh)
@@ -456,12 +369,14 @@ class BaselineHandler:
         from ..parallel.dist import barrier, is_primary
         if is_primary():
             ckpt_lib.save_checkpoint(self._ckpt_path(ckpt_type, run_name), epoch,
-                                     self.state.params, self.state.opt)
+                                     self.state.params, self.state.opt,
+                                     backend=self.cfg.get("ckpt_backend",
+                                                          "msgpack"))
         barrier("save_model")
 
     def resume_model(self, ckpt_type="best", run_name="train"):
         e, p, o = ckpt_lib.restore_checkpoint(
             self._ckpt_path(ckpt_type, run_name), self.state.params,
-            self.state.opt)
+            self.state.opt, backend=self.cfg.get("ckpt_backend", "msgpack"))
         self.state = self.state.replace(params=p, opt=o)
         print(f"[model] resumed from {ckpt_type}_{run_name} at epoch {e}")

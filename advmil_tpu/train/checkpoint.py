@@ -2,9 +2,13 @@
 
 Same best/last naming contract as the reference
 (reference model/model_handler.py:645-678): one file per network,
-``{run}_model{G|D}-{best|last}.ckpt`` under save_path. Serialization is flax
-msgpack (host-synchronous, dependency-light); orbax is used when requested via
-``backend='orbax'`` for sharded/async multi-host settings.
+``{run}_model{G|D}-{best|last}.ckpt`` under save_path. Two serialization
+backends, selected by the ``ckpt_backend`` config key (default ``msgpack``):
+
+* ``msgpack`` — flax msgpack, host-synchronous, dependency-light, one file.
+* ``orbax`` — orbax PyTreeCheckpointer (a directory per checkpoint); for
+  sharded/async multi-host settings. Both store the flax *state-dict* form,
+  so either backend restores onto the same pytree templates.
 """
 from __future__ import annotations
 
@@ -15,7 +19,10 @@ import jax
 from flax import serialization
 
 
-def save_checkpoint(path: str, epoch: int, params, opt_state):
+def save_checkpoint(path: str, epoch: int, params, opt_state,
+                    backend: str = "msgpack"):
+    if backend == "orbax":
+        return save_checkpoint_orbax(path, epoch, params, opt_state)
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     bundle = {"epoch": epoch,
               "params": serialization.to_state_dict(jax.device_get(params)),
@@ -24,11 +31,18 @@ def save_checkpoint(path: str, epoch: int, params, opt_state):
         f.write(serialization.msgpack_serialize(bundle))
 
 
-def restore_checkpoint(path: str, params_template=None, opt_template=None):
+def restore_checkpoint(path: str, params_template=None, opt_template=None,
+                       backend: str = "msgpack"):
     """Returns (epoch, params, opt_state). Templates (matching pytrees) restore
     exact array types; without them raw nested dicts/arrays are returned."""
+    if backend == "orbax":
+        return restore_checkpoint_orbax(path, params_template, opt_template)
     with open(path, "rb") as f:
         bundle = serialization.msgpack_restore(f.read())
+    return _finish_restore(bundle, params_template, opt_template)
+
+
+def _finish_restore(bundle, params_template, opt_template):
     epoch = int(bundle["epoch"])
     params = bundle["params"]
     opt_state = bundle.get("opt_state")
@@ -42,12 +56,17 @@ def restore_checkpoint(path: str, params_template=None, opt_template=None):
 def save_checkpoint_orbax(path: str, epoch: int, params, opt_state):
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(osp.abspath(path), {"epoch": epoch, "params": params,
-                                   "opt_state": opt_state}, force=True)
+    ckptr.save(osp.abspath(path),
+               {"epoch": epoch,
+                "params": serialization.to_state_dict(jax.device_get(params)),
+                "opt_state": serialization.to_state_dict(
+                    jax.device_get(opt_state))},
+               force=True)
 
 
-def restore_checkpoint_orbax(path: str):
+def restore_checkpoint_orbax(path: str, params_template=None,
+                             opt_template=None):
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     bundle = ckptr.restore(osp.abspath(path))
-    return int(bundle["epoch"]), bundle["params"], bundle.get("opt_state")
+    return _finish_restore(bundle, params_template, opt_template)

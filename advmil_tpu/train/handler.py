@@ -20,25 +20,24 @@ import optax
 
 from .. import losses
 from ..config import check_configs
-from ..config import scatter_free_from_cfg as _scatter_free_cfg
 from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
 from ..models.gan import Generator, Discriminator, PrjDiscriminator
 from ..utils.func import (sparse_key, sparse_str, EarlyStopping,
-                          add_prefix_to_filename, print_config, print_metrics,
+                          add_prefix_to_filename, print_metrics,
                           rename_keys, sampling_data, get_kfold_pids,
                           seed_everything)
 from ..utils.io import (read_datasplit_npz, read_maxt_from_table,
                         save_prediction)
-from ..utils.logging import RunLogger
 from . import checkpoint as ckpt_lib
+from .common import HandlerCommon
 from .optim import create_optimizer, ReduceLROnPlateau
 from .steps import (AdvTrainState, make_adv_train_step, make_eval_step,
                     make_supervised_loss)
 
 
-class AdvHandler:
+class AdvHandler(HandlerCommon):
     """Adversarial (generator/discriminator) survival training."""
 
     def __init__(self, cfg: dict):
@@ -60,7 +59,8 @@ class AdvHandler:
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
-                                 tra_backbone=cfg.get("tra_backbone", "Transformer"))
+                                 tra_backbone=cfg.get("tra_backbone", "Transformer"),
+                                 flash_min_len=cfg.get("flash_min_len", 256))
         dim_in, dim_out = sparse_str(cfg["gen_dims"])
         args_noise = SimpleNamespace(**sparse_key(cfg, prefixes="gen_noi"))
         noise_flags = sparse_str(args_noise.noise)
@@ -160,68 +160,12 @@ class AdvHandler:
             self.ret_metrics = ["c_index", "loss_mle_org"]
 
         # ---- data / instance parallelism (SURVEY.md §2.10, §5) ----
-        self.mesh = None
-        self.mesh_2d = False
-        self.multi_host = jax.process_count() > 1
-        dp = int(cfg.get("dp_devices", 1) or 1)
-        ip = int(cfg.get("inst_devices", 1) or 1)
-        if self.multi_host:
-            # multi-host DP over every process's devices; DCN/ICI collectives
-            # are inserted by XLA. Batches are assembled per process from
-            # host-local rows (parallel/dist.py).
-            from ..parallel.dist import global_mesh, replicate_global
-            if ip > 1:
-                print("[parallel] WARNING: inst_devices is ignored in "
-                      "multi-host runs (pure data-parallel global mesh)")
-            self.mesh = global_mesh()
-            self.state = replicate_global(self.state, self.mesh)
-            print(f"[parallel] multi-host data-parallel: "
-                  f"{jax.process_count()} processes x "
-                  f"{jax.local_device_count()} devices")
-        elif ip > 1:
-            from ..parallel.mesh import make_mesh_2d, replicate_state
-            self.mesh = make_mesh_2d(dp, ip)
-            self.mesh_2d = True
-            self.state = replicate_state(self.state, self.mesh)
-            print(f"[parallel] data x instance parallel over {dp}x{ip} devices")
-        elif dp > 1:
-            from ..parallel.mesh import make_mesh, replicate_state
-            self.mesh = make_mesh(dp)
-            self.state = replicate_state(self.state, self.mesh)
-            print(f"[parallel] data-parallel over {dp} devices")
-
-        self.patient_id = {}
-        self.np_rng = np.random.default_rng(cfg["seed"])
-        run_name = (self.save_dir.rstrip("/").split("/")[-1])
-        from ..parallel.dist import is_primary
-        self.is_primary = is_primary()
-        self.logger = RunLogger(cfg.get("wandb_prj"), run_name, self.save_dir,
-                                config=cfg, enabled=self.is_primary)
-        if self.is_primary:
-            print_config(cfg, print_to_path=self.config_path)
+        self._setup_parallel()
+        self._setup_logging()
 
     # ------------------------------------------------------------------
-    # setup helpers
+    # setup helpers (shared plumbing: train/common.py HandlerCommon)
     # ------------------------------------------------------------------
-
-    def _setup_paths(self):
-        cfg = self.cfg
-        if cfg["test"]:
-            cfg["test_save_path"] = cfg["test_save_path"].format(
-                cfg["test_mask_ratio"], cfg["data_split_seed"])
-            cfg["test_load_path"] = cfg["test_load_path"].format(
-                cfg["data_split_seed"])
-            os.makedirs(cfg["test_save_path"], exist_ok=True)
-            self.save_dir = cfg["test_save_path"]
-            self.load_dir = cfg["test_load_path"]
-        else:
-            os.makedirs(cfg["save_path"], exist_ok=True)
-            self.save_dir = cfg["save_path"]
-            self.load_dir = cfg["save_path"]
-        self.config_path = osp.join(self.save_dir, "print_config.txt")
-        self.metrics_paths = {
-            "best": osp.join(self.save_dir, "metrics-best.txt"),
-            "last": osp.join(self.save_dir, "metrics-last.txt")}
 
     def _ckpt_path(self, net: str, ckpt_type: str, run_name: str,
                    load: bool = False) -> str:
@@ -243,19 +187,7 @@ class AdvHandler:
         return {"feats": feats, "mask": mask, "extra": extra}
 
     def _batcher(self, dataset, for_train: bool = False) -> BucketBatcher:
-        multiple = (jax.device_count() if self.multi_host
-                    else int(self.cfg.get("dp_devices", 1) or 1))
-        b = BucketBatcher(dataset,
-                          token_budget=self.cfg["batch_token_budget"],
-                          max_batch=self.cfg["batch_max_size"],
-                          min_bucket=self.cfg["bucket_min"],
-                          batch_multiple=multiple,
-                          edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
-                          # reverse tables only pay off in the backward pass
-                          scatter_free=(_scatter_free_cfg(self.cfg)
-                                        if for_train else "off"))
-        b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
-        return b
+        return self._make_bucket_batcher(dataset, for_train)
 
     def _to_device(self, batch, visible_set=None) -> dict:
         if visible_set is None:
@@ -264,30 +196,10 @@ class AdvHandler:
             visible = np.asarray(
                 [1.0 if self._pid_of(batch, j) in visible_set else 0.0
                  for j in range(len(batch.idx))], np.float32)
-        bf16 = self.cfg.get("precision") in ("bf16", "bfloat16")
         dev = {"feats": batch.feats, "mask": batch.mask, "label": batch.label,
                "sample_mask": batch.sample_mask, "visible": visible}
         dev.update(batch.extra)
-        if self.multi_host:
-            # every process builds the same global batch; ship only the
-            # process-local rows, assemble a global sharded array. Slice
-            # FIRST, then cast in numpy: casting on device before slicing
-            # would round-trip the whole global feats through device 0
-            from ..parallel.dist import make_global_batch, process_local_slice
-            sl = process_local_slice(len(batch.sample_mask))
-            local = {k: np.asarray(v)[sl] for k, v in dev.items()}
-            if bf16:
-                local["feats"] = local["feats"].astype(jnp.bfloat16)
-            return make_global_batch(local, self.mesh)
-        if bf16:
-            dev["feats"] = jnp.asarray(dev["feats"], jnp.bfloat16)
-        if self.mesh is not None:
-            if self.mesh_2d:
-                from ..parallel.mesh import shard_batch_2d
-                return shard_batch_2d(dev, self.mesh)
-            from ..parallel.mesh import shard_batch
-            return shard_batch(dev, self.mesh)
-        return {k: jnp.asarray(v) for k, v in dev.items()}
+        return self._ship(dev)
 
     def _pid_of(self, batch, j):
         return self._cur_dataset.pids[int(batch.idx[j])]
@@ -464,8 +376,9 @@ class AdvHandler:
 
             val_metrics = None
             if val_loaders is not None:
-                for k, (ds, batcher) in val_loaders.items():
-                    cltor = self._run_eval(ds, batcher, n_samples=1)
+                for k_i, (k, (ds, batcher)) in enumerate(val_loaders.items()):
+                    cltor = self._run_eval(ds, batcher, n_samples=1,
+                                           rng_tag=(epoch + 1) * 8 + k_i)
                     met_ci, met_loss = self._eval_and_print(cltor, name=k,
                                                             at_epoch=epoch + 1)
                     if k == val_name:
@@ -533,15 +446,6 @@ class AdvHandler:
             cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
-    def _fetch(self, tree):
-        """Host-fetch a pytree of device arrays; in multi-host runs the
-        data-sharded leaves are allgathered so every process sees full
-        batches (collective call — same order on all processes)."""
-        if self.multi_host:
-            from ..parallel.dist import gather_to_hosts
-            return gather_to_hosts(tree)
-        return jax.device_get(tree)
-
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
@@ -555,16 +459,21 @@ class AdvHandler:
         return self._eval_steps[key]
 
     def _run_eval(self, ds, batcher, n_samples=1, zero_noise=False,
-                  params_G=None, params_D=None):
+                  params_G=None, params_D=None, rng_tag=None):
         self._cur_dataset = ds
         params_G = self.state.params_G if params_G is None else params_G
         params_D = self.state.params_D if params_D is None else params_D
         step = self._get_eval_step(n_samples, zero_noise)
         # fresh (but seed-reproducible) noise draws per evaluation pass, like
-        # the reference's advancing global RNG
-        self._eval_calls = getattr(self, "_eval_calls", 0) + 1
+        # the reference's advancing global RNG. `rng_tag` (epoch/split
+        # derived at the call site) keeps the draws independent of how many
+        # evals ran before — so val curves reproduce across resume; the call
+        # counter is only the fallback for ad-hoc callers.
+        if rng_tag is None:
+            self._eval_calls = getattr(self, "_eval_calls", 0) + 1
+            rng_tag = self._eval_calls
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg["seed"] + 777),
-                                 self._eval_calls)
+                                 rng_tag)
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
         if n_samples > 1:
             cltor["avg_y_hat"] = []
@@ -620,8 +529,11 @@ class AdvHandler:
             raise FileNotFoundError(
                 f"checkpoint {gpath} not found (no '{ckpt_type}' model was "
                 "saved — check es_warmup/epochs or test_load_path)")
-        _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G)
-        _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D)
+        be = self.cfg.get("ckpt_backend", "msgpack")
+        _, pG, _ = ckpt_lib.restore_checkpoint(gpath, self.state.params_G,
+                                               backend=be)
+        _, pD, _ = ckpt_lib.restore_checkpoint(dpath, self.state.params_D,
+                                               backend=be)
         if self.multi_host:
             from ..parallel.dist import replicate_global
             pG = replicate_global(pG, self.mesh)
@@ -631,10 +543,16 @@ class AdvHandler:
         csv_name = f"{group}_{ckpt_type}"
 
         metrics = {}
-        for k, (ds, batcher) in evals_loader.items():
+        for k_i, (k, (ds, batcher)) in enumerate(evals_loader.items()):
+            # tag domain disjoint from the training-loop epoch tags (which
+            # are (epoch+1)*8 + split < 8*(epochs+1); checkpoint evals sit
+            # past 1_000_000) so resumed runs reproduce their curves
             cltor = self._run_eval(ds, batcher, n_samples=sampling_times,
                                    zero_noise=test_zero_noise,
-                                   params_G=pG, params_D=pD)
+                                   params_G=pG, params_D=pD,
+                                   rng_tag=1_000_000
+                                   + (1 if ckpt_type == "best" else 2) * 16
+                                   + k_i)
             ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")
             metrics[k] = [("cindex", ci), ("loss", loss)]
             if cfg.get("log_plot") and self.is_primary:
@@ -658,20 +576,24 @@ class AdvHandler:
 
     def save_model(self, epoch, ckpt_type="best", run_name="train"):
         from ..parallel.dist import barrier, is_primary
+        be = self.cfg.get("ckpt_backend", "msgpack")
         if is_primary():
             ckpt_lib.save_checkpoint(self._ckpt_path("G", ckpt_type, run_name),
-                                     epoch, self.state.params_G, self.state.opt_G)
+                                     epoch, self.state.params_G, self.state.opt_G,
+                                     backend=be)
             ckpt_lib.save_checkpoint(self._ckpt_path("D", ckpt_type, run_name),
-                                     epoch, self.state.params_D, self.state.opt_D)
+                                     epoch, self.state.params_D, self.state.opt_D,
+                                     backend=be)
         barrier("save_model")  # non-primary waits for the files to exist
 
     def resume_model(self, ckpt_type="best", run_name="train"):
+        be = self.cfg.get("ckpt_backend", "msgpack")
         eG, pG, oG = ckpt_lib.restore_checkpoint(
             self._ckpt_path("G", ckpt_type, run_name),
-            self.state.params_G, self.state.opt_G)
+            self.state.params_G, self.state.opt_G, backend=be)
         eD, pD, oD = ckpt_lib.restore_checkpoint(
             self._ckpt_path("D", ckpt_type, run_name),
-            self.state.params_D, self.state.opt_D)
+            self.state.params_D, self.state.opt_D, backend=be)
         self.state = self.state.replace(params_G=pG, params_D=pD,
                                         opt_G=oG, opt_D=oD)
         print(f"[model] resumed netG/netD from {ckpt_type}_{run_name} "

@@ -42,7 +42,8 @@ CHAIN_LONG = 25
 PEAK_FLOPS = float(os.environ.get("ADVMIL_PEAK_TFLOPS", "197")) * 1e12
 
 
-def build_step(mode: str, batch_n: int, batch_b: int):
+def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
+               use_fused_embed: bool = False):
     """Models + jitted adversarial step + one padded batch for `mode`."""
     import jax
     import jax.numpy as jnp
@@ -97,7 +98,8 @@ def build_step(mode: str, batch_n: int, batch_b: int):
     else:
         extra_init = None
 
-    backbone = load_backbone(mode, [FEAT_DIM, 384, 384], use_pallas=True)
+    backbone = load_backbone(mode, [FEAT_DIM, 384, 384], use_pallas=use_pallas,
+                             use_fused_embed=use_fused_embed)
     gen = Generator(backbone=backbone, dim_in=384, dim_out=1, noise=(0, 1),
                     hops=1, noise_dist="uniform", norm=False, dropout=0.6,
                     out_scale="sigmoid")
@@ -155,8 +157,10 @@ def chain_time(run_step, state, batches, n: int) -> float:
     return time.perf_counter() - t0
 
 
-def bench_mode(mode: str, batch_n: int, batch_b: int) -> dict:
-    step, state, batch, _, _ = build_step(mode, batch_n, batch_b)
+def bench_mode(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
+               use_fused_embed: bool = False) -> dict:
+    step, state, batch, _, _ = build_step(mode, batch_n, batch_b, use_pallas,
+                                          use_fused_embed)
     compiled, compile_s, flops = compile_and_flops(step, state, batch)
 
     def run(st, b):
@@ -230,6 +234,53 @@ def bench_mixed_buckets() -> dict:
     }
 
 
+def bench_long_bag_flash(batch_n: int = 16384, batch_b: int = 8) -> dict:
+    """Long-bag ESAT training (N=16384 patches -> L=1024 regions): the regime
+    where the Pallas flash-attention kernels (fwd + custom-VJP bwd + in-kernel
+    dropout) carry the transformer layer instead of the materializing einsum
+    (gate: models/layers.py _masked_mha, L >= flash_min_len=256 on TPU).
+    Runs BOTH paths and reports the flash throughput with the einsum
+    comparison inline, so the kernel's win (or loss) is re-measured every
+    round (VERDICT r2 #1). Reference counterpart: cuDNN attention inside
+    torch's TransformerEncoderLayer (reference model/backbone_utils.py:113-127)."""
+    flash = bench_mode("patch", batch_n, batch_b, use_pallas=True)
+    einsum = bench_mode("patch", batch_n, batch_b, use_pallas=False)
+    return {
+        "metric": "gansurv_esat_longbag_flash_throughput",
+        "value": flash["value"],
+        "unit": "bags/sec/chip",
+        "vs_baseline": flash["vs_baseline"],
+        "anchor": ANCHOR,
+        "batch": batch_b,
+        "bag_n": batch_n,
+        "mfu": flash["mfu"],
+        "einsum_bags_per_sec": einsum["value"],
+        "flash_speedup_vs_einsum": round(flash["value"] / einsum["value"], 3),
+        "compile_s": flash["compile_s"],
+    }
+
+
+def bench_fused_embed_ablation(batch_n: int, batch_b: int) -> dict:
+    """ESAT headline shape with the fused Pallas Dense+LN+ReLU+region-mean
+    embedding kernel ON vs OFF (ops/fused_embed.py; reference counterpart is
+    the embedding half of model/backbone_utils.py:158-168) — settles
+    use_fused_embedding's default with a standing measurement (VERDICT r2 #4)."""
+    fused = bench_mode("patch", batch_n, batch_b, use_fused_embed=True)
+    plain = bench_mode("patch", batch_n, batch_b, use_fused_embed=False)
+    return {
+        "metric": "gansurv_esat_fused_embed_ablation",
+        "value": fused["value"],
+        "unit": "bags/sec/chip",
+        "vs_baseline": fused["vs_baseline"],
+        "anchor": ANCHOR,
+        "batch": batch_b,
+        "bag_n": batch_n,
+        "mfu": fused["mfu"],
+        "plain_bags_per_sec": plain["value"],
+        "fused_speedup_vs_plain": round(fused["value"] / plain["value"], 3),
+    }
+
+
 def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     """Serving path: test-time K-sample median prediction (reference
     model/model_handler.py:624-641 loops 30 full forwards per bag; here the
@@ -258,12 +309,16 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     d_long = chain(4 * CHAIN_LONG)
     per_step = (d_long - d_short) / (4 * (CHAIN_LONG - CHAIN_SHORT))
     bags = batch_b / per_step
+    # anchor: the reference eval path runs times_test_sample=30 full forwards
+    # through its train-pipeline models (model_handler.py:624-641), so the
+    # comparable estimate is the train-pipeline anchor divided by 30 — NOT
+    # the train anchor itself (advisor r2 finding on apples-to-oranges ratios)
     return {
         "metric": "gansurv_esat_eval30_throughput",
         "value": round(bags, 2),
         "unit": "bags/sec/chip",
-        "vs_baseline": round(bags / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
-        "anchor": ANCHOR,
+        "vs_baseline": round(bags / (REF_2XV100_BAGS_PER_SEC_ESTIMATE / 30), 3),
+        "anchor": "estimate_train_pipeline_div_30",
         "batch": batch_b,
         "bag_n": batch_n,
         "n_samples": n_samples,
@@ -288,6 +343,10 @@ def main():
     results.append(bench_mixed_buckets())
     print(json.dumps(results[-1]), flush=True)
     results.append(bench_eval(BAG_N, 32))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_long_bag_flash())
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_fused_embed_ablation(BAG_N, 32))
     print(json.dumps(results[-1]), flush=True)
     headline = bench_mode("patch", BAG_N, 32)
     headline["metric"] = "gansurv_esat_train_throughput"

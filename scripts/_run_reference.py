@@ -9,7 +9,12 @@ driver installs inert stand-ins BEFORE importing it:
     if actually instantiated — parity runs use patch/abmil/cluster modes),
   * torch.cuda.set_device/empty_cache -> no-ops; Tensor.cuda/Module.cuda ->
     identity.
-No reference code is copied or edited; it runs as-is from the read-only mount.
+No reference code is copied or edited; it runs as-is from the read-only
+mount. One runtime monkeypatch works around an upstream crash: cluster mode's
+DeepAttMISL.forward never strips the DataLoader batch dim off cluster_id
+(model/backbone.py:105-112) and IndexErrors with the stock pipeline; the
+shim squeezes that dim so the k=8 segment pooling can be parity-tested at
+all (see install_stubs).
 
 Usage: python scripts/_run_reference.py --config cfg.yaml --handler adv|base
 Prints one line: PARITY_METRICS_JSON=<json>.
@@ -73,6 +78,26 @@ def install_stubs():
     torch.cuda.empty_cache = lambda *a, **k: None
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # ---- upstream cluster-mode crash shim ----
+    # The reference's DeepAttMISL.forward squeezes the DataLoader batch dim
+    # off x_path but NOT off cluster_id (reference model/backbone.py:105-112),
+    # so with the stock default_collate pipeline `x_path[cluster_id==i]`
+    # raises IndexError (mask [1, N] vs tensor [N, d]) — cluster mode crashes
+    # as shipped. This wrapper squeezes the batch dim off cluster_id before
+    # the original forward; modeling semantics are unchanged. Documented in
+    # PARITY.md.
+    sys.path.insert(0, "/root/reference")
+    from model.backbone import DeepAttMISL
+    _orig_fwd = DeepAttMISL.forward
+
+    def _fwd(self, x_path, cluster_id, *a):
+        if cluster_id is not None and cluster_id.dim() == 2 \
+                and cluster_id.shape[0] == 1:
+            cluster_id = cluster_id.squeeze(0)
+        return _orig_fwd(self, x_path, cluster_id, *a)
+
+    DeepAttMISL.forward = _fwd
 
     # ---- torch 1.9 -> 2.x API drift shims (reference README.md:20) ----
     import inspect
