@@ -37,6 +37,11 @@ TPU_DEFAULTS = {
     "graph_edge_agg": "spatial",
     "graph_edges_per_node": 9,     # padded edge budget per node (kNN radius)
     "graph_scatter_free": "auto",  # reverse-edge-table backward: auto|on|off
+    # banded message streaming for raster-ordered spatial kNN graphs: the
+    # gather becomes ~epn rolled slices + a small residual table (wins when
+    # band coverage is high; pre-scanned at batcher build). Takes precedence
+    # over graph_scatter_free when engaged.
+    "graph_banded": "auto",        # auto|off
     "cache_bags": True,
     "accum_steps": 1,
     "ckpt_backend": "msgpack",     # msgpack (one file) | orbax (directory)

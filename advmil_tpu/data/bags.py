@@ -231,7 +231,7 @@ class BucketBatcher:
     def __init__(self, dataset: BagDataset, token_budget: int = 32768,
                  max_batch: int = 64, min_bucket: int = 256,
                  edges_per_node: int = 9, batch_multiple: int = 1,
-                 scatter_free: str = "auto"):
+                 scatter_free: str = "auto", banded: str = "auto"):
         self.ds = dataset
         self.token_budget = token_budget
         self.max_batch = max_batch
@@ -258,21 +258,50 @@ class BucketBatcher:
         self._by_bucket: dict = {}
         for i, b in enumerate(self.item_bucket):
             self._by_bucket.setdefault(int(b), []).append(i)
-        # Pre-scan the (static) bag graphs ONCE so the 'auto' decision and
-        # the reverse-table column count are fixed before the first batch
-        # (advisor r2): deciding mid-epoch would change the batch pytree
-        # structure (rev keys appearing/disappearing) or grow K, forcing
-        # train-step recompiles. The scan loads each graph once; with
-        # cache_bags they stay cached for epoch 1.
-        if dataset.mode == "graph" and scatter_free != "off":
+        # Pre-scan the (static) bag graphs ONCE so the 'auto' decisions
+        # (banded streaming, reverse tables) and every padded column count
+        # are fixed before the first batch (advisor r2): deciding mid-epoch
+        # would change the batch pytree structure (keys appearing/
+        # disappearing) or grow K/R, forcing train-step recompiles. The
+        # scan loads each graph once; with cache_bags they stay cached for
+        # epoch 1.
+        self._band_on = False
+        self._band_res_slots = 0
+        if dataset.mode == "graph" and (scatter_free != "off"
+                                        or banded != "off"):
+            from ..ops.segment import band_coverage
             kmax = 1
+            band_edges = band_total = 0
+            res_max = 0
             for i in range(len(sizes)):
                 e = dataset[i]["edge_index"]  # [2, E] (dst, src), dst-sorted
                 dst, src = e[0], e[1]
                 first = np.searchsorted(dst, dst, side="left")
-                kept = (np.arange(dst.shape[0]) - first) < edges_per_node
+                pos = np.arange(dst.shape[0]) - first
+                kept = pos < edges_per_node
                 if kept.any():
                     kmax = max(kmax, int(np.bincount(src[kept]).max()))
+                if banded != "off":
+                    n = int(sizes[i])
+                    esrc = np.zeros((n, edges_per_node), np.int32)
+                    em = np.zeros((n, edges_per_node), np.float32)
+                    esrc[dst[kept], pos[kept]] = src[kept]
+                    em[dst[kept], pos[kept]] = 1.0
+                    cov, nres = band_coverage(esrc, em)
+                    band_edges += cov * em.sum()
+                    band_total += em.sum()
+                    res_max = max(res_max, nres)
+            total_cov = band_edges / max(band_total, 1)
+            if banded != "off" and total_cov >= 0.7:
+                # banded streaming replaces the gather entirely (fwd AND
+                # bwd) — reverse tables become redundant
+                self._band_on = True
+                self._band_res_slots = -(-max(res_max, 1) // 128) * 128
+                self._rev_disabled = True
+                print(f"[batcher] banded graph streaming ON: coverage "
+                      f"{total_cov:.3f}, residual slots "
+                      f"{self._band_res_slots}")
+                return
             k_cols = -(-kmax // 8) * 8
             if scatter_free == "auto" and k_cols > self._rev_cap:
                 # hub-heavy graphs: padded rev-gather would cost more than
@@ -401,12 +430,33 @@ class BucketBatcher:
                 em[j, dst[keep], pos[keep]] = 1.0
             extra["edge_src"] = esrc
             extra["edge_mask"] = em
+            # banded streaming tables (decision + residual slot count fixed
+            # by the construction-time pre-scan): per-slot modal offsets,
+            # band membership mask, and the exact residual edge list
+            if self._band_on:
+                from ..ops.segment import build_band_tables
+                R = self._band_res_slots
+                b_offs = np.zeros((bb, epn), np.int32)
+                b_mask = np.zeros((bb, bucket_n, epn), np.float32)
+                r_node = np.zeros((bb, R), np.int32)
+                r_src = np.zeros((bb, R), np.int32)
+                r_mask = np.zeros((bb, R), np.float32)
+                for j in range(bb):
+                    o, bmk, rn_, rs_, rm_ = build_band_tables(
+                        esrc[j], em[j], res_slots=R)
+                    b_offs[j], b_mask[j] = o, bmk
+                    r_node[j], r_src[j], r_mask[j] = rn_, rs_, rm_
+                extra["band_offs"] = b_offs
+                extra["band_mask"] = b_mask
+                extra["res_node"] = r_node
+                extra["res_src"] = r_src
+                extra["res_mask"] = r_mask
             # reverse tables: make the message-gather backward scatter-free
             # (ops/segment.gather_rows_rev). The column count K and the
             # auto on/off decision were fixed by the construction-time
             # pre-scan, so every batch shares one pytree structure and one
             # compiled K.
-            if self.scatter_free != "off" and not self._rev_disabled:
+            elif self.scatter_free != "off" and not self._rev_disabled:
                 K = self._rev_slots
                 rev_idx = np.zeros((bb, bucket_n, K), np.int32)
                 rev_mask = np.zeros((bb, bucket_n, K), np.float32)

@@ -24,7 +24,8 @@ from .layers import (DenseInit, GatedAttention, GAPool,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
 from ..ops.attention import pallas_available
-from ..ops.segment import (fused_knn_softmax_aggregate, gather_rows_rev,
+from ..ops.segment import (banded_knn_softmax_aggregate,
+                           fused_knn_softmax_aggregate, gather_rows_rev,
                            knn_edge_softmax_aggregate)
 from ..ops.pe import compute_pe
 
@@ -98,23 +99,32 @@ class GENConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_mask, rev_idx=None, rev_mask=None,
-                 *, deterministic: bool):
+                 band=None, *, deterministic: bool):
         # x: [N, C]; edge_src: [N, epn] source node per incoming edge slot;
         # edge_mask: [N, epn] 1 = real edge. The dense fixed-degree layout
         # avoids scatters in the forward (kNN in-degree is bounded by epn);
         # when the batcher also supplies the reverse edge table, the gather's
         # VJP becomes a gather too — zero scatters in the whole train step.
+        # When the batcher detects near-banded (raster spatial kNN) structure
+        # it ships band tables instead, and the message gather disappears
+        # entirely: rolled feature copies + a small exact residual list
+        # (ops/segment.banded_knn_softmax_aggregate).
         t = self.param("t", nn.initializers.ones, (1,))
         xr = nn.relu(x)
-        if rev_idx is not None:
-            msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
+        if band is not None:
+            b_offs, b_mask, r_node, r_src, r_mask = band
+            aggr = banded_knn_softmax_aggregate(
+                xr + self.eps, b_offs, b_mask, r_node, r_src, r_mask, t[0])
         else:
-            msg = xr[edge_src] + self.eps               # [N, epn, C] gather
-        # fused one-HBM-pass Pallas aggregation on TPU; jnp chain elsewhere
-        if self.use_pallas and pallas_available():
-            aggr = fused_knn_softmax_aggregate(msg, edge_mask, t[0])
-        else:
-            aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
+            if rev_idx is not None:
+                msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
+            else:
+                msg = xr[edge_src] + self.eps           # [N, epn, C] gather
+            # fused one-HBM-pass Pallas aggregation on TPU; jnp chain elsewhere
+            if self.use_pallas and pallas_available():
+                aggr = fused_knn_softmax_aggregate(msg, edge_mask, t[0])
+            else:
+                aggr = knn_edge_softmax_aggregate(msg, edge_mask, t[0])
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
         h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
@@ -135,10 +145,11 @@ class DeepGCNBlock(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, x, edge_index, edge_mask, rev_idx=None, rev_mask=None):
+    def __call__(self, x, edge_index, edge_mask, rev_idx=None, rev_mask=None,
+                 band=None):
         h = GENConv(self.dim, dense_init=self.dense_init,
                     use_pallas=self.use_pallas, name="conv")(
-            x, edge_index, edge_mask, rev_idx, rev_mask,
+            x, edge_index, edge_mask, rev_idx, rev_mask, band,
             deterministic=self.det)
         h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
         h = nn.relu(h)
@@ -166,6 +177,12 @@ class PatchGCN(nn.Module):
         # VJP scatter-free (ops/segment.gather_rows_rev)
         rev_idx = extra.get("rev_idx") if hasattr(extra, "get") else None
         rev_mask = extra.get("rev_mask") if hasattr(extra, "get") else None
+        # banded streaming tables (mutually exclusive with rev tables):
+        # modal per-slot offsets + membership mask + exact residual list
+        band = None
+        if hasattr(extra, "get") and extra.get("band_offs") is not None:
+            band = (extra["band_offs"], extra["band_mask"],
+                    extra["res_node"], extra["res_src"], extra["res_mask"])
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
@@ -175,7 +192,7 @@ class PatchGCN(nn.Module):
         conv0 = GENConv(dim_hid, dense_init=self.dense_init,
                         use_pallas=self.use_pallas, name="layer0_conv")
         h0 = _vmap_graph(conv0, h, edge_index, edge_mask, rev_idx, rev_mask,
-                         deterministic=deterministic)
+                         band, deterministic=deterministic)
         feats = [h, h0]
         cur = h0
         for i in range(1, self.num_layers):
@@ -184,7 +201,7 @@ class PatchGCN(nn.Module):
                           det=deterministic, use_pallas=self.use_pallas,
                           name=f"layer{i}")
             cur = _vmap_graph(blk, cur, edge_index, edge_mask, rev_idx,
-                              rev_mask)
+                              rev_mask, band)
             feats.append(cur)
         h_path = jnp.concatenate(feats, axis=-1)         # [B, N, hid*(1+L)]
         h_path = make_dense(dim_out, self.dense_init,
@@ -200,18 +217,20 @@ class PatchGCN(nn.Module):
 
 
 def _vmap_graph(module: nn.Module, x, edge_index, edge_mask, rev_idx,
-                rev_mask, deterministic=None):
+                rev_mask, band=None, deterministic=None):
     """Apply a per-graph module across the batch dim with shared params.
-    Reverse-table operands are appended only when present; `deterministic`
-    is forwarded as a kwarg when given (GENConv) and omitted for modules
-    that carry it as a static field (DeepGCNBlock under remat)."""
-    operands = (x, edge_index, edge_mask)
-    if rev_idx is not None:
-        operands += (rev_idx, rev_mask)
+    Reverse-table / band operands are trailing positionals (None = absent,
+    mapped with axis None so the pytree stays empty); `deterministic` is
+    forwarded as a kwarg when given (GENConv) and omitted for modules that
+    carry it as a static field (DeepGCNBlock under remat)."""
+    operands = (x, edge_index, edge_mask, rev_idx, rev_mask)
+    if band is not None:
+        operands += (band,)
+    axes = tuple(0 if op is not None else None for op in operands)
     kw = {} if deterministic is None else {"deterministic": deterministic}
     return nn.vmap(
         lambda m, *a: m(*a, **kw),
-        in_axes=(0,) * len(operands), out_axes=0,
+        in_axes=axes, out_axes=0,
         variable_axes={"params": None},
         split_rngs={"params": False, "dropout": True},
     )(module, *operands)

@@ -112,7 +112,8 @@ class HandlerCommon:
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
                           # reverse tables only pay off in the backward pass
                           scatter_free=(_scatter_free_cfg(self.cfg)
-                                        if for_train else "off"))
+                                        if for_train else "off"),
+                          banded=self.cfg.get("graph_banded", "auto"))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
 

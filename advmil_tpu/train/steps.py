@@ -45,6 +45,10 @@ def _gen_extra(batch: dict, bcb_mode: str):
         if "rev_idx" in batch:  # scatter-free backward (ops/segment.py)
             extra["rev_idx"] = batch["rev_idx"]
             extra["rev_mask"] = batch["rev_mask"]
+        if "band_offs" in batch:  # banded streaming (ops/segment.py)
+            for k in ("band_offs", "band_mask", "res_node", "res_src",
+                      "res_mask"):
+                extra[k] = batch[k]
         return extra
     if bcb_mode == "patch":
         return batch.get("coords")  # None unless coords supplied

@@ -110,8 +110,11 @@ class TestBuckets:
         ds = BagDataset(paths["pids"], paths["path_patch"], paths["path_label"],
                         "graph", read_format="npy", time_format="ratio",
                         graph_path=paths["path_graph"])
+        # banded='off': these graphs are near-banded, so 'auto' banded
+        # streaming would take precedence over the rev tables under test
+        # (tests/test_banded.py covers that path)
         batcher = BucketBatcher(ds, token_budget=256, min_bucket=64,
-                                edges_per_node=9)
+                                edges_per_node=9, banded="off")
         for batch in batcher.epoch_batches():
             # synthetic chain+skip graphs have out-degree <= 4 -> K == 8,
             # far below the disable cap of roundup(2*9, 8) = 24
