@@ -30,7 +30,8 @@ TPU_DEFAULTS = {
     "dist_process_id": None,       # this process's rank
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
-    "flash_min_len": 256,          # region count where flash beats the einsum
+    "flash_min_len": 512,          # regions where flash beats einsum (train;
+                                   # the deterministic eval path gates at 4x)
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,

@@ -267,12 +267,13 @@ class BucketBatcher:
         # epoch 1.
         self._band_on = False
         self._band_res_slots = 0
+        self._band_u_slots = 0     # >0 => Pallas-kernel row tables shipped
         if dataset.mode == "graph" and (scatter_free != "off"
                                         or banded != "off"):
             from ..ops.segment import band_coverage
             kmax = 1
             band_edges = band_total = 0
-            res_max = 0
+            res_max = u_max = off_max = 0
             for i in range(len(sizes)):
                 e = dataset[i]["edge_index"]  # [2, E] (dst, src), dst-sorted
                 dst, src = e[0], e[1]
@@ -287,20 +288,28 @@ class BucketBatcher:
                     em = np.zeros((n, edges_per_node), np.float32)
                     esrc[dst[kept], pos[kept]] = src[kept]
                     em[dst[kept], pos[kept]] = 1.0
-                    cov, nres = band_coverage(esrc, em)
+                    cov, nres, nrows, omax = band_coverage(esrc, em)
                     band_edges += cov * em.sum()
                     band_total += em.sum()
                     res_max = max(res_max, nres)
+                    u_max = max(u_max, nrows)
+                    off_max = max(off_max, omax)
             total_cov = band_edges / max(band_total, 1)
             if banded != "off" and total_cov >= 0.7:
                 # banded streaming replaces the gather entirely (fwd AND
                 # bwd) — reverse tables become redundant
                 self._band_on = True
                 self._band_res_slots = -(-max(res_max, 1) // 128) * 128
+                # Pallas banded kernel admissibility: every |offset| must
+                # fit the kernel's 128-row block (ops/banded_pallas.py);
+                # wider-raster graphs keep the jnp rolls path
+                if off_max <= 128:
+                    self._band_u_slots = -(-max(u_max, 1) // 8) * 8
                 self._rev_disabled = True
                 print(f"[batcher] banded graph streaming ON: coverage "
                       f"{total_cov:.3f}, residual slots "
-                      f"{self._band_res_slots}")
+                      f"{self._band_res_slots}, residual rows "
+                      f"{self._band_u_slots or 'n/a (rolls path)'}")
                 return
             k_cols = -(-kmax // 8) * 8
             if scatter_free == "auto" and k_cols > self._rev_cap:
@@ -436,21 +445,35 @@ class BucketBatcher:
             if self._band_on:
                 from ..ops.segment import build_band_tables
                 R = self._band_res_slots
+                U = self._band_u_slots
                 b_offs = np.zeros((bb, epn), np.int32)
                 b_mask = np.zeros((bb, bucket_n, epn), np.float32)
                 r_node = np.zeros((bb, R), np.int32)
                 r_src = np.zeros((bb, R), np.int32)
                 r_mask = np.zeros((bb, R), np.float32)
+                if U:
+                    from ..ops.banded_pallas import build_u_tables
+                    u_rows = np.zeros((bb, U), np.int32)
+                    u_src = np.zeros((bb, U, epn), np.int32)
+                    u_emask = np.zeros((bb, U, epn), np.float32)
                 for j in range(bb):
                     o, bmk, rn_, rs_, rm_ = build_band_tables(
                         esrc[j], em[j], res_slots=R)
                     b_offs[j], b_mask[j] = o, bmk
                     r_node[j], r_src[j], r_mask[j] = rn_, rs_, rm_
+                    if U:
+                        ur, us, ue = build_u_tables(esrc[j], em[j], bmk,
+                                                    u_slots=U)
+                        u_rows[j], u_src[j], u_emask[j] = ur, us, ue
                 extra["band_offs"] = b_offs
                 extra["band_mask"] = b_mask
                 extra["res_node"] = r_node
                 extra["res_src"] = r_src
                 extra["res_mask"] = r_mask
+                if U:
+                    extra["band_urows"] = u_rows
+                    extra["band_usrc"] = u_src
+                    extra["band_uemask"] = u_emask
             # reverse tables: make the message-gather backward scatter-free
             # (ops/segment.gather_rows_rev). The column count K and the
             # auto on/off decision were fixed by the construction-time

@@ -24,6 +24,7 @@ from .layers import (DenseInit, GatedAttention, GAPool,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
 from ..ops.attention import pallas_available
+from ..ops.banded_pallas import pallas_banded_aggregate
 from ..ops.segment import (banded_knn_softmax_aggregate,
                            fused_knn_softmax_aggregate, gather_rows_rev,
                            knn_edge_softmax_aggregate)
@@ -112,9 +113,17 @@ class GENConv(nn.Module):
         t = self.param("t", nn.initializers.ones, (1,))
         xr = nn.relu(x)
         if band is not None:
-            b_offs, b_mask, r_node, r_src, r_mask = band
-            aggr = banded_knn_softmax_aggregate(
-                xr + self.eps, b_offs, b_mask, r_node, r_src, r_mask, t[0])
+            y = xr + self.eps
+            if len(band) == 8 and self.use_pallas and pallas_available():
+                # VMEM-resident banded kernel + exact residual-row overwrite
+                # (ops/banded_pallas.py) — zero HBM roll materialization
+                b_offs, b_mask, _, _, _, u_rows, u_src, u_emask = band
+                aggr = pallas_banded_aggregate(
+                    y, b_offs, b_mask, u_rows, u_src, u_emask, t[0])
+            else:
+                b_offs, b_mask, r_node, r_src, r_mask = band[:5]
+                aggr = banded_knn_softmax_aggregate(
+                    y, b_offs, b_mask, r_node, r_src, r_mask, t[0])
         else:
             if rev_idx is not None:
                 msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
@@ -183,6 +192,10 @@ class PatchGCN(nn.Module):
         if hasattr(extra, "get") and extra.get("band_offs") is not None:
             band = (extra["band_offs"], extra["band_mask"],
                     extra["res_node"], extra["res_src"], extra["res_mask"])
+            if extra.get("band_urows") is not None:
+                # row-level residual tables -> Pallas banded kernel eligible
+                band += (extra["band_urows"], extra["band_usrc"],
+                         extra["band_uemask"])
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
@@ -250,7 +263,7 @@ class DualTransHS(nn.Module):
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
     use_fused_embed: bool = False
-    flash_min_len: int = 256
+    flash_min_len: int = 512
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -285,7 +298,7 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
                   use_pallas: bool = True, num_graph_layers: int = 1,
                   use_fused_embed: bool = False,
                   tra_backbone: str = "Transformer",
-                  flash_min_len: int = 256) -> nn.Module:
+                  flash_min_len: int = 512) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]

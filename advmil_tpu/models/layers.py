@@ -356,7 +356,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
-    flash_min_len: int = 256
+    flash_min_len: int = 512
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
@@ -388,7 +388,7 @@ class TransformerEncoderLayer(nn.Module):
 
 
 def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
-                use_pallas: bool, flash_min_len: int = 256):
+                use_pallas: bool, flash_min_len: int = 512):
     """Multi-head attention with key-padding mask.
 
     q,k,v: [B, L, H, Dh]; mask: [B, L] (1 = real). Uses the Pallas flash
@@ -402,7 +402,13 @@ def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
     scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
     if use_pallas:
         from ..ops.attention import masked_flash_attention, pallas_available
-        if pallas_available() and L >= flash_min_len:
+        # measured crossovers (BENCHNOTES r3, scripts/bench_flash_crossover):
+        # training (fwd+bwd+dropout) flash wins from ~L=512; the eval-only
+        # forward stays einsum-faster until ~L=2048, so the deterministic
+        # path gates 4x higher (O(L^2) logits memory still bounds both)
+        min_len = flash_min_len if not deterministic \
+            else max(flash_min_len, 2048)
+        if pallas_available() and L >= min_len:
             if dropout and not deterministic:
                 rng = module.make_rng("dropout")
                 seed = jax.random.randint(rng, (1,), 0,

@@ -327,13 +327,17 @@ def build_band_tables(edge_src: np.ndarray, edge_mask: np.ndarray,
 
 
 def band_coverage(edge_src: np.ndarray, edge_mask: np.ndarray):
-    """(banded_fraction, n_residual_edges) of a dense edge table — used by
-    the batcher's construction-time pre-scan to fix the banded on/off
-    decision and the residual-slot count before the first batch."""
+    """(banded_fraction, n_residual_edges, n_residual_rows, max_abs_offset)
+    of a dense edge table — used by the batcher's construction-time pre-scan
+    to fix the banded on/off decision, the residual slot counts (edge-level
+    for the jnp rolls path, row-level for the Pallas kernel path), and the
+    kernel's block-size admissibility before the first batch."""
     offs, bmask, _, _, res_mask = build_band_tables(edge_src, edge_mask)
     n_valid = int((edge_mask > 0).sum())
     n_band = int(bmask.sum())
-    return (n_band / max(n_valid, 1)), int(res_mask.sum())
+    n_rows = len(np.unique(np.nonzero((edge_mask > 0) & (bmask <= 0))[0]))
+    return ((n_band / max(n_valid, 1)), int(res_mask.sum()), n_rows,
+            int(np.abs(offs).max(initial=0)))
 
 
 def _banded_fwd_stats(y, offs, band_mask, res_node, res_src, res_mask, t):

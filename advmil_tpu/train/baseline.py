@@ -65,7 +65,7 @@ class BaselineHandler(HandlerCommon):
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
-                                 flash_min_len=cfg.get("flash_min_len", 256))
+                                 flash_min_len=cfg.get("flash_min_len", 512))
         dim_in, dim_out = sparse_str(cfg["pdh_dims"])
         self.model = SurvNet(backbone=backbone, dim_in=dim_in, dim_out=dim_out,
                              hops=cfg.get("mlp_hops", 1),

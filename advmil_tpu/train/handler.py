@@ -60,7 +60,7 @@ class AdvHandler(HandlerCommon):
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
-                                 flash_min_len=cfg.get("flash_min_len", 256))
+                                 flash_min_len=cfg.get("flash_min_len", 512))
         dim_in, dim_out = sparse_str(cfg["gen_dims"])
         args_noise = SimpleNamespace(**sparse_key(cfg, prefixes="gen_noi"))
         noise_flags = sparse_str(args_noise.noise)

@@ -49,6 +49,9 @@ def _gen_extra(batch: dict, bcb_mode: str):
             for k in ("band_offs", "band_mask", "res_node", "res_src",
                       "res_mask"):
                 extra[k] = batch[k]
+            if "band_urows" in batch:  # Pallas kernel row-level residuals
+                for k in ("band_urows", "band_usrc", "band_uemask"):
+                    extra[k] = batch[k]
         return extra
     if bcb_mode == "patch":
         return batch.get("coords")  # None unless coords supplied

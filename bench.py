@@ -86,23 +86,34 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         # banded streaming tables — what the BucketBatcher ships for these
         # graphs since round 3 (graph_banded: auto; wrap-around rows land
         # in the exact residual list)
+        from advmil_tpu.ops.banded_pallas import build_u_tables
         o0, b0, rn0, rs0, rm0 = build_band_tables(src[0].astype(np.int32),
                                                   em[0])
         R = rn0.shape[0]
+        U = build_u_tables(src[0].astype(np.int32), em[0], b0)[0].shape[0]
         bo = np.zeros((batch_b, epn), np.int32)
         bm = np.zeros((batch_b, batch_n, epn), np.float32)
         rn = np.zeros((batch_b, R), np.int32)
         rs = np.zeros((batch_b, R), np.int32)
         rmk = np.zeros((batch_b, R), np.float32)
+        urw = np.zeros((batch_b, U), np.int32)
+        usr = np.zeros((batch_b, U, epn), np.int32)
+        uem = np.zeros((batch_b, U, epn), np.float32)
         for j in range(batch_b):
             o, b_, n_, s_, m_ = build_band_tables(src[j].astype(np.int32),
                                                   em[j], res_slots=R)
             bo[j], bm[j], rn[j], rs[j], rmk[j] = o, b_, n_, s_, m_
+            urw[j], usr[j], uem[j] = build_u_tables(
+                src[j].astype(np.int32), em[j], b_, u_slots=U)
         batch["band_offs"] = jnp.asarray(bo)
         batch["band_mask"] = jnp.asarray(bm)
         batch["res_node"] = jnp.asarray(rn)
         batch["res_src"] = jnp.asarray(rs)
         batch["res_mask"] = jnp.asarray(rmk)
+        # row-level residual tables: the Pallas banded kernel path
+        batch["band_urows"] = jnp.asarray(urw)
+        batch["band_usrc"] = jnp.asarray(usr)
+        batch["band_uemask"] = jnp.asarray(uem)
         extra_init = {"edge_src": batch["edge_src"][:1],
                       "edge_mask": batch["edge_mask"][:1]}
     else:
