@@ -32,6 +32,8 @@ TPU_DEFAULTS = {
     "use_pallas": True,            # pallas flash attention in ESAT
     "flash_min_len": 512,          # regions where flash beats einsum (train;
                                    # the deterministic eval path gates at 4x)
+    "opt_flatten": True,           # run elementwise optimizers on one flat
+                                   # vector (exact; kills per-leaf op tail)
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,

@@ -116,7 +116,8 @@ class BaselineHandler(HandlerCommon):
             def make_tx(learning_rate):
                 tx = create_optimizer(cfg["opt_net"], learning_rate,
                                       weight_decay=cfg["opt_net_weight_decay"],
-                                      params=self.params)
+                                      params=self.params,
+                                      flatten=cfg.get("opt_flatten", True))
                 return optax.MultiSteps(tx, accum) if accum > 1 else tx
 
             self.tx = optax.inject_hyperparams(make_tx)(

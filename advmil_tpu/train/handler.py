@@ -116,13 +116,16 @@ class AdvHandler(HandlerCommon):
         def make_G_tx(learning_rate):
             tx = create_optimizer(cfg["opt_netG"], learning_rate,
                                   weight_decay=cfg["opt_netG_weight_decay"],
-                                  params=self.params_G)
+                                  params=self.params_G,
+                                  flatten=cfg.get("opt_flatten", True))
             return optax.MultiSteps(tx, accum) if accum > 1 else tx
 
         self.base_lr_G = cfg["opt_netG_lr"]
         self.tx_G = optax.inject_hyperparams(make_G_tx)(
             learning_rate=self.base_lr_G)
-        self.tx_D = optax.adam(cfg["opt_netD_lr"], b1=0.9, b2=0.999)
+        self.tx_D = create_optimizer("adam", cfg["opt_netD_lr"],
+                                     betas=(0.9, 0.999),
+                                     flatten=cfg.get("opt_flatten", True))
         if accum > 1:
             self.tx_D = optax.MultiSteps(self.tx_D, accum)
         self.state = AdvTrainState(

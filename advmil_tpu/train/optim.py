@@ -216,15 +216,47 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
 # Factory
 # ---------------------------------------------------------------------------
 
+_FLATTENABLE = frozenset((
+    # purely elementwise transforms (given global scalars like the step
+    # count): running them on one concatenated parameter vector is exact.
+    # NOT flattenable: adamp/sgdp (per-tensor projections), novograd/
+    # nvnovograd (per-tensor second-moment norms), adafactor (factored
+    # second moment keyed on the tensor shape).
+    "sgd", "momentum", "nesterov", "adam", "adamw", "nadam", "radam",
+    "adadelta", "rmsprop", "rmsproptf",
+))
+
+
+def _flat_decay(weight_decay: float, mask_vec):
+    """Coupled-L2 ``g + wd * p`` in the flattened parameter space, with an
+    elementwise 0/1 mask vector standing in for the per-leaf decay mask
+    (optax.add_decayed_weights' leaf-level mask cannot express this once
+    the leaves are concatenated by optax.flatten)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params):
+        scale = weight_decay if mask_vec is None else weight_decay * mask_vec
+        upd = jax.tree_util.tree_map(lambda g, p: g + scale * p,
+                                     updates, params)
+        return upd, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _build(opt_lower: str, learning_rate, weight_decay: float, momentum,
-           eps, betas, params_mask):
+           eps, betas, params_mask, decay_tx=None):
     wd = weight_decay or 0.0
     b1, b2 = (betas if betas else (0.9, 0.999))
     mom = 0.9 if momentum is None else momentum
+    if wd and decay_tx is None:
+        decay_tx = optax.add_decayed_weights(wd, params_mask)
 
     def coupled_l2(tx):
         if wd:
-            return optax.chain(optax.add_decayed_weights(wd, params_mask), tx,
+            return optax.chain(decay_tx, tx,
                                optax.scale_by_learning_rate(learning_rate))
         return optax.chain(tx, optax.scale_by_learning_rate(learning_rate))
 
@@ -236,7 +268,7 @@ def _build(opt_lower: str, learning_rate, weight_decay: float, momentum,
         return coupled_l2(optax.scale_by_adam(b1=b1, b2=b2, eps=eps or 1e-8))
     if opt_lower == "adamw":
         return optax.chain(optax.scale_by_adam(b1=b1, b2=b2, eps=eps or 1e-8),
-                           optax.add_decayed_weights(wd, params_mask),
+                           decay_tx if wd else optax.identity(),
                            optax.scale_by_learning_rate(learning_rate))
     if opt_lower == "nadam":
         return coupled_l2(optax.scale_by_adam(b1=b1, b2=b2, eps=eps or 1e-8,
@@ -274,19 +306,39 @@ def _build(opt_lower: str, learning_rate, weight_decay: float, momentum,
 
 
 def create_optimizer(opt: str, learning_rate: float, weight_decay: float = 0.0,
-                     momentum=None, eps=None, betas=None, params=None
-                     ) -> optax.GradientTransformation:
+                     momentum=None, eps=None, betas=None, params=None,
+                     flatten: bool = True) -> optax.GradientTransformation:
     """Name-keyed optimizer factory (reference optim/optim_factory.py:40-127).
 
     ``lookahead_<name>`` wraps <name> in Lookahead. ``params`` (a template
     pytree) enables the 1-d/bias weight-decay exclusion; without it decay
     applies to all parameters.
+
+    ``flatten`` (default on) wraps elementwise optimizers in optax.flatten so
+    the whole update runs on ONE concatenated vector: mathematically
+    identical, but XLA emits one fused update instead of a few small ops per
+    parameter leaf — a measured chunk of the per-step op-dispatch tail on
+    TPU (BENCHNOTES round 3). Per-tensor optimizers (adamp, sgdp, novograd,
+    adafactor) are never flattened.
     """
     opt_lower = opt.lower()
-    mask = _no_decay_mask(params) if (params is not None and weight_decay) else None
     parts = opt_lower.split("_")
     base = parts[-1]
-    tx = _build(base, learning_rate, weight_decay, momentum, eps, betas, mask)
+    if flatten and base in _FLATTENABLE:
+        mask_vec = None
+        if params is not None and weight_decay:
+            leaves = jax.tree_util.tree_leaves(params)
+            mask_vec = jnp.concatenate(
+                [jnp.full((l.size,), float(l.ndim > 1), jnp.float32)
+                 for l in leaves])
+        decay_tx = _flat_decay(weight_decay, mask_vec) if weight_decay else None
+        tx = optax.flatten(_build(base, learning_rate, weight_decay, momentum,
+                                  eps, betas, None, decay_tx=decay_tx))
+    else:
+        mask = _no_decay_mask(params) if (params is not None and weight_decay) \
+            else None
+        tx = _build(base, learning_rate, weight_decay, momentum, eps, betas,
+                    mask)
     if len(parts) > 1 and parts[0] == "lookahead":
         tx = lookahead(tx)
     return tx

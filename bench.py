@@ -136,7 +136,7 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
     params_D = disc.init({"params": key, "dropout": key}, f1,
                          jnp.zeros((1, 1)), m1, deterministic=True)["params"]
     tx_G = create_optimizer("adam", 8e-5, weight_decay=5e-4, params=params_G)
-    tx_D = optax.adam(8e-5)
+    tx_D = create_optimizer("adam", 8e-5)
     state = AdvTrainState(params_G=params_G, params_D=params_D,
                           opt_G=tx_G.init(params_G), opt_D=tx_D.init(params_D),
                           rng=key)

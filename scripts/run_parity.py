@@ -236,7 +236,8 @@ def main():
     ap.add_argument("--tasks", nargs="+",
                     default=["adv_esat", "adv_esat_disc", "base_nll_abmil",
                              "base_nll_abmil_refregime", "base_cox_abmil",
-                             "base_nll_cluster"])
+                             "base_nll_cluster",
+                             "base_nll_cluster_refregime"])
     ap.add_argument("--resume", default=None,
                     help="existing PARITY.json: (task, fold, seed) rows "
                          "already present are reused instead of re-run "
@@ -254,6 +255,7 @@ def main():
         "base_nll_abmil_refregime": ("base", base_cfg, ours_refregime),
         "base_cox_abmil": ("base", cox_cfg, ours_extra),
         "base_nll_cluster": ("base", cluster_cfg, ours_extra),
+        "base_nll_cluster_refregime": ("base", cluster_cfg, ours_refregime),
     }
 
     prev_rows = {}
@@ -315,6 +317,12 @@ def main():
                       f"val ref={row['ref_val']:.4f} ours={row['ours_val']:.4f} "
                       f"test ref={row['ref_test']:.4f} ours={row['ours_test']:.4f} "
                       f"({t_ref:.0f}s ref / {t_ours:.0f}s ours)", flush=True)
+                # incremental checkpoint: a killed run loses nothing —
+                # --resume picks every completed row back up from here
+                ckpt = {t: {"rows": v["rows"]} for t, v in results.items()}
+                ckpt[task] = {"rows": rows}
+                with open(osp.join(args.workdir, "parity_ckpt.json"), "w") as f:
+                    json.dump(ckpt, f)
         rv = np.array([r["ref_val"] for r in rows])
         ov = np.array([r["ours_val"] for r in rows])
         rt = np.array([r["ref_test"] for r in rows])
@@ -440,12 +448,16 @@ def write_report(results: dict, args):
         if task.endswith("_refregime"):
             lines += [
                 "The `_refregime` arm runs THIS framework in the reference's "
-                "exact optimization regime (one bag per microbatch, optimizer "
+                "optimization regime (one bag per microbatch, optimizer "
                 "step every 16 bags via `batch_max_size: 1` + "
                 "`accum_steps: 16`, matching reference batch_size=1 + "
                 "bp_every_batch=16) against the same reference runs — it "
                 "isolates modeling parity from the true-batching optimization "
-                "improvement.",
+                "improvement. One residual regime difference remains: the "
+                "reference drops each epoch's trailing remainder of < "
+                "bp_every_batch bags without an optimizer step, while "
+                "optax.MultiSteps carries the accumulator across the epoch "
+                "boundary and eventually steps on it.",
                 "",
             ]
     seeds = " ".join(str(s) for s in args.seeds)

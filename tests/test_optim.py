@@ -171,3 +171,45 @@ def test_baseline_handler_adahessian(tmp_path):
                        disc_nety_hid_dims="4-8", epochs=2)
     metrics = BaselineHandler(cfg).exec()
     assert np.isfinite(dict(metrics["validation"])["cindex"])
+
+
+@pytest.mark.parametrize("name,wd", [("adam", 5e-4), ("adam", 0.0),
+                                     ("adamw", 1e-2), ("sgd", 1e-4),
+                                     ("rmsproptf", 0.0), ("radam", 1e-3),
+                                     ("lookahead_adam", 5e-4)])
+def test_flatten_is_exact(name, wd):
+    """opt_flatten runs elementwise optimizers on one concatenated vector —
+    must be bit-identical to the per-leaf build, including the 1-d
+    weight-decay exclusion mask (optim.py _flat_decay)."""
+    rng = np.random.default_rng(0)
+    params = {"a": {"w": jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+                    "b": jnp.asarray(rng.normal(size=(16,)), jnp.float32)},
+              "c": jnp.asarray(rng.normal(size=(16, 4)), jnp.float32)}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params)
+    tx_f = create_optimizer(name, 1e-3, weight_decay=wd, params=params,
+                            flatten=True)
+    tx_u = create_optimizer(name, 1e-3, weight_decay=wd, params=params,
+                            flatten=False)
+    sf, su = tx_f.init(params), tx_u.init(params)
+    pf = pu = params
+    for _ in range(7):  # crosses a lookahead sync boundary (period 6)
+        uf, sf = tx_f.update(grads, sf, pf)
+        uu, su = tx_u.update(grads, su, pu)
+        pf = optax.apply_updates(pf, uf)
+        pu = optax.apply_updates(pu, uu)
+    for a, b in zip(jax.tree_util.tree_leaves(pf),
+                    jax.tree_util.tree_leaves(pu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flatten_skips_per_tensor_optimizers():
+    """adamp's projection is per-tensor: flatten must leave it unflattened
+    (state pytree keeps per-leaf structure)."""
+    params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+    tx = create_optimizer("adamp", 1e-3, weight_decay=1e-4, params=params,
+                          flatten=True)
+    state = tx.init(params)
+    leaves = jax.tree_util.tree_leaves(state)
+    # per-leaf mu/nu survive (flattened state would hold single 20-el vectors)
+    assert any(l.shape == (4, 4) for l in leaves if hasattr(l, "shape"))
