@@ -1,0 +1,89 @@
+"""bf16-vs-f32 validation-accuracy spot check (VERDICT r2 #9).
+
+The shipped adversarial configs default to `precision: bf16` (matching every
+published bench number) while the end-to-end accuracy-parity runs
+(PARITY.md) are CPU/f32. This script closes the loop: train the adversarial
+handler twice on the same synthetic dataset + seed — once bf16, once f32 —
+on the real TPU, and report the best-val/test C-indices side by side.
+
+Usage: python scripts/check_bf16_parity.py [--epochs 10] [--seed 42]
+Writes a small markdown table to stdout; run serially (one TPU proc).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def run(precision: str, paths, seed: int, epochs: int, outdir: str):
+    from advmil_tpu.config import with_defaults
+    from advmil_tpu.train.handler import AdvHandler
+
+    cfg = with_defaults({
+        "task": "cont_gansurv", "seed": seed,
+        "save_path": os.path.join(outdir, precision),
+        "dataset": "synthetic",
+        "path_patch": paths["path_patch"], "path_graph": paths["path_graph"],
+        "path_cluster": paths["path_cluster"], "path_coordx5": None,
+        "path_label": paths["path_label"], "feat_format": "npy",
+        "time_format": "ratio", "time_bins": 4,
+        "data_split_path": paths["data_split_path"], "data_split_seed": 0,
+        "bcb_mode": "patch", "bcb_dims": "1024-384-384",
+        "gen_dims": "384-1", "gen_noi_noise": "0-1",
+        "gen_noi_noise_dist": "uniform", "gen_noi_hops": 1,
+        "gen_norm": False, "gen_dropout": 0.6, "gen_out_scale": "sigmoid",
+        "disc_type": "prj", "disc_netx_in_dim": 1024,
+        "disc_netx_out_dim": 128, "disc_netx_ksize": 1,
+        "disc_netx_backbone": "avgpool", "disc_netx_dropout": 0.25,
+        "disc_nety_in_dim": 1, "disc_nety_hid_dims": "64-128",
+        "disc_nety_norm": False, "disc_nety_dropout": 0.0,
+        "disc_prj_path": "x", "disc_prj_iprd": "instance",
+        "loss_gan_coef": 0.004, "loss_netD": "bce",
+        "loss_regl1_coef": 0.00001, "loss_mle_alpha": 0.0,
+        "loss_recon_norm": "l1", "loss_recon_alpha": 0.0,
+        "loss_recon_gamma": 0.0,
+        "opt_netG": "adam", "opt_netG_lr": 0.0008,
+        "opt_netG_weight_decay": 0.0005, "opt_netD_lr": 0.0008,
+        "epochs": epochs, "batch_size": 1, "bp_every_batch": 16,
+        "es_patience": 100, "es_warmup": 1, "es_verbose": False,
+        "es_start_epoch": 0, "gen_updates": 1, "monitor_metrics": "loss",
+        "times_test_sample": 30, "semi_training": False,
+        "semi_training_mode": "none",
+        "precision": precision,
+    })
+    metrics = AdvHandler(cfg).exec()
+    out = {split: dict(kv) for split, kv in metrics.items()}
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--workdir", default="/tmp/bf16check")
+    args = ap.parse_args()
+
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    paths = make_synthetic_dataset(
+        os.path.join(args.workdir, "data"), n_patients=120, dim=1024,
+        min_regions=4, max_regions=64, seed=7)
+
+    rows = {}
+    for precision in ("bf16", "f32"):
+        rows[precision] = run(precision, paths, args.seed, args.epochs,
+                              args.workdir)
+        print(f"[{precision}] {rows[precision]}", flush=True)
+
+    print("\n| precision | val c-index | test c-index |")
+    print("|---|---|---|")
+    for precision in ("bf16", "f32"):
+        r = rows[precision]
+        print(f"| {precision} | {r['validation']['cindex']:.4f} "
+              f"| {r['test']['cindex']:.4f} |")
+    dv = rows["bf16"]["validation"]["cindex"] - rows["f32"]["validation"]["cindex"]
+    print(f"\nΔval (bf16 − f32) = {dv:+.4f}")
+
+
+if __name__ == "__main__":
+    main()
