@@ -178,6 +178,28 @@ def chain_time(run_step, state, batches, n: int) -> float:
     return time.perf_counter() - t0
 
 
+def marginal_per_step(chain, n_short: int, n_long: int, reps: int = 3) -> float:
+    """Median of `reps` independent (short, long) marginal estimates.
+
+    A single (d_long - d_short) pair is corrupted when the host gets
+    descheduled mid-chain (observed on this 1-core box while another job ran:
+    a stall inside the SHORT chain inflates d_short and drove the estimate to
+    an impossible 20x throughput). Host stalls hit one chain at a time and in
+    one direction each, so the median over 3 pairs rejects them; non-positive
+    diffs (stall fully inside the short chain) are discarded outright."""
+    est = []
+    for _ in range(reps):
+        d_short = chain(n_short)
+        d_long = chain(n_long)
+        per = (d_long - d_short) / (n_long - n_short)
+        if per > 0:
+            est.append(per)
+    if not est:  # every repeat was stall-corrupted; fall back to long-only
+        return chain(n_long) / n_long
+    est.sort()
+    return est[len(est) // 2]
+
+
 def bench_mode(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
                use_fused_embed: bool = False) -> dict:
     step, state, batch, _, _ = build_step(mode, batch_n, batch_b, use_pallas,
@@ -188,9 +210,8 @@ def bench_mode(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         return compiled(st, b)
 
     chain_time(run, state, [batch], 2)  # warmup
-    d_short = chain_time(run, state, [batch], CHAIN_SHORT)
-    d_long = chain_time(run, state, [batch], CHAIN_LONG)
-    per_step = (d_long - d_short) / (CHAIN_LONG - CHAIN_SHORT)
+    per_step = marginal_per_step(
+        lambda n: chain_time(run, state, [batch], n), CHAIN_SHORT, CHAIN_LONG)
     bags = batch_b / per_step
     return {
         "metric": f"gansurv_{mode}_train_throughput",
@@ -237,9 +258,8 @@ def bench_mixed_buckets() -> dict:
         return time.perf_counter() - t0
 
     chain(nshapes)  # warm all shapes
-    d_short = chain(2 * nshapes)
-    d_long = chain(8 * nshapes)
-    per_cycle3 = (d_long - d_short) / 6
+    # marginal cost per 3-shape cycle (chain counts are in steps = cycles*3)
+    per_cycle3 = marginal_per_step(chain, 2 * nshapes, 8 * nshapes) * nshapes
     bags_per_cycle = sum(b for _, b in shapes)
     bags = bags_per_cycle / per_cycle3
     flops_cycle = sum(flops_per)
@@ -326,9 +346,7 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     # the eval step is ~4x faster than the train step: use 4x the chain
     # lengths so the marginal window stays well above dispatch noise
     chain(4)
-    d_short = chain(4 * CHAIN_SHORT)
-    d_long = chain(4 * CHAIN_LONG)
-    per_step = (d_long - d_short) / (4 * (CHAIN_LONG - CHAIN_SHORT))
+    per_step = marginal_per_step(chain, 4 * CHAIN_SHORT, 4 * CHAIN_LONG)
     bags = batch_b / per_step
     # anchor: the reference eval path runs times_test_sample=30 full forwards
     # through its train-pipeline models (model_handler.py:624-641), so the
