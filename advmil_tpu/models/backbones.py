@@ -58,7 +58,18 @@ class DeepAttnMISL(nn.Module):
     """Cluster-based MIL (reference model/backbone.py:89-123): per-cluster
     FC+ReLU then average pool, gated attention over the k cluster embeddings.
     Empty clusters contribute zeros yet still participate in the attention
-    softmax, exactly as the reference."""
+    softmax, exactly as the reference.
+
+    Init subtlety: the reference's `phis` is a Conv2d, and the xavier re-init
+    applied for sigmoid-output tasks (reference model/model_utils.py:13-17,
+    applied at baseline_handler.py:86-87 / model_handler.py) touches ONLY
+    nn.Linear — so in every reference run the phis layer keeps the torch
+    Conv2d DEFAULT init (kaiming-uniform kernel + nonzero uniform bias).
+    We mirror that: when the backbone-wide scheme is XAVIER (the Linear-only
+    re-init context), phis uses the TORCH default instead; pt041
+    (general_init_weight) re-inits Conv2d too, so it passes through. Getting
+    this wrong measurably slows early ranking convergence (PARITY.md cluster
+    note)."""
     dims: Sequence[int]
     num_clusters: int = 8
     dropout: float = 0.25
@@ -69,7 +80,9 @@ class DeepAttnMISL(nn.Module):
         dim_in, dim_hid, dim_out = self.dims
         assert dim_hid == dim_out
         cluster_id = extra                               # [B, N]
-        phi = nn.relu(make_dense(dim_hid, self.dense_init, in_features=dim_in,
+        phis_init = (DenseInit.TORCH if self.dense_init == DenseInit.XAVIER
+                     else self.dense_init)
+        phi = nn.relu(make_dense(dim_hid, phis_init, in_features=dim_in,
                                  name="phis")(x))        # [B, N, hid]
         # masked mean per cluster: one-hot matmul keeps it on the MXU
         cid = jnp.where(mask.astype(bool), cluster_id.astype(jnp.int32), -1)

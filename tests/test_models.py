@@ -70,6 +70,43 @@ class TestDeepAttnMISL:
         _, h = _init_and_apply(model, x, mask, cid)
         assert np.all(np.isfinite(np.asarray(h)))
 
+    def test_phis_keeps_torch_default_init_under_xavier_scheme(self):
+        """The reference's xavier re-init (model/model_utils.py:13-17) touches
+        only nn.Linear, so DeepAttMISL's Conv2d `phis` keeps the torch DEFAULT
+        init (kaiming-uniform kernel, nonzero uniform bias) in every surv_nll
+        / gansurv run. Getting this wrong measurably slows early ranking
+        convergence (PARITY.md cluster note). pt041 (general_init_weight)
+        re-inits Conv2d too, so there phis follows the scheme."""
+        from advmil_tpu.models.layers import DenseInit
+        x = _bag(40)
+        cid = jnp.asarray(RNG.integers(0, 8, size=(1, 40)), jnp.int32)
+        mask = jnp.ones((1, 40), jnp.float32)
+        dim_in = DIMS[0]
+
+        model = DeepAttnMISL(DIMS, num_clusters=8, dense_init=DenseInit.XAVIER)
+        variables, _ = _init_and_apply(model, x, mask, cid)
+        params = variables["params"]
+        phis_k = np.asarray(params["phis"]["kernel"])
+        phis_b = np.asarray(params["phis"]["bias"])
+        torch_bound = 1.0 / np.sqrt(dim_in)
+        assert np.abs(phis_k).max() <= torch_bound + 1e-6
+        # xavier bound for (64, 32) is sqrt(6/96) ~ 0.25 >> 0.125; a draw that
+        # respects the tighter torch bound everywhere is not xavier
+        assert np.abs(phis_k).max() > 0.8 * torch_bound  # actually fills it
+        assert np.abs(phis_b).max() > 0.0                # torch bias, not zeros
+        # the Linear layers stay xavier + zero bias
+        attn_b = np.asarray(params["attn_fc"]["bias"])
+        assert np.abs(attn_b).max() == 0.0
+        xavier_bound = np.sqrt(6.0 / (DIMS[1] + DIMS[1]))
+        attn_k = np.asarray(params["attn_fc"]["kernel"])
+        assert np.abs(attn_k).max() <= xavier_bound + 1e-6
+        assert np.abs(attn_k).max() > torch_bound  # wider than torch: xavier
+
+        model41 = DeepAttnMISL(DIMS, num_clusters=8, dense_init=DenseInit.PT041)
+        variables41, _ = _init_and_apply(model41, x, mask, cid)
+        phis41 = np.asarray(variables41["params"]["phis"]["kernel"])
+        assert np.abs(phis41).max() <= 0.5 / np.sqrt(dim_in) + 1e-6
+
 
 class TestDualTransHS:
     def test_padding_invariance_whole_regions(self):
