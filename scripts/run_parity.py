@@ -242,6 +242,10 @@ def main():
                     help="existing PARITY.json: (task, fold, seed) rows "
                          "already present are reused instead of re-run "
                          "(runs are deterministic per seed)")
+    ap.add_argument("--rerun-ours-for", nargs="+", default=[],
+                    help="tasks whose resumed rows only seed the reference "
+                         "cache; OUR side re-runs (use after a fix that "
+                         "changes our training, keeping the ref runs)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -277,14 +281,15 @@ def main():
                 cache_key = (builder.__name__, fold, seed)
                 if (task, fold, seed) in prev_rows:
                     row = prev_rows[(task, fold, seed)]
-                    rows.append(row)
                     # seed the ref cache so sibling arms (e.g. _refregime)
                     # reuse the recorded reference metrics
                     ref_cache.setdefault(cache_key, (
                         {"validation": {"cindex": row["ref_val"]},
                          "test": {"cindex": row["ref_test"]}},
                         row.get("ref_seconds", 0.0)))
-                    continue
+                    if task not in args.rerun_ours_for:
+                        rows.append(row)
+                        continue
                 if cache_key in ref_cache:
                     ref, t_ref = ref_cache[cache_key]
                 else:
@@ -443,6 +448,17 @@ def write_report(results: dict, args):
                 "(scripts/_run_reference.py) and the synthetic clusters "
                 "guarantee non-emptiness so the k=8 segment pooling can be "
                 "compared at all.",
+                "",
+                "Init subtlety this arm caught: the reference's xavier "
+                "re-init (model/model_utils.py:13-17) touches only "
+                "nn.Linear, so DeepAttMISL's Conv2d `phis` keeps the torch "
+                "default init (kaiming-uniform + nonzero bias). Applying "
+                "xavier+zero-bias to phis instead reproducibly slowed early "
+                "ranking convergence on fold 0 (val c-index 0.56-0.77 vs "
+                "ref 0.87 under loss-monitored checkpoint selection); with "
+                "the torch-default phis init "
+                "(models/backbones.py DeepAttnMISL) the arm converges like "
+                "the reference.",
                 "",
             ]
         if task.endswith("_refregime"):
