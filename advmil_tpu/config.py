@@ -30,8 +30,11 @@ TPU_DEFAULTS = {
     "dist_process_id": None,       # this process's rank
     "precision": "f32",            # f32 | bf16
     "use_pallas": True,            # pallas flash attention in ESAT
-    "flash_min_len": 512,          # regions where flash beats einsum (train;
-                                   # the deterministic eval path gates at 4x)
+    "flash_min_len": 512,          # regions where flash beats einsum (train).
+                                   # The deterministic eval forward floors the
+                                   # gate at max(flash_min_len, 2048) — its
+                                   # measured crossover — so this knob cannot
+                                   # enable flash for eval below L=2048
     "opt_flatten": True,           # run elementwise optimizers on one flat
                                    # vector (exact; kills per-leaf op tail)
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean

@@ -154,40 +154,52 @@ class BagDataset:
             assert cids.shape[0] == feats.shape[0]
             item["cluster_id"] = cids.astype(np.int32)
         elif self.mode == "graph":
-            edges = []
-            offset = 0
-            key = "edge_index" if self.edge_agg == "spatial" else "edge_latent"
-            for sid in self.pid2sid[pid]:
-                npz_path = osp.join(self.graph_path, f"{sid}.npz")
-                if osp.exists(npz_path):
-                    g = np.load(npz_path)
-                    # stored as [2, E] (dst, src) per slide; offset per slide
-                    ei = g[key].astype(np.int64) + offset
-                    nn_ = int(g["num_nodes"])
-                else:
-                    # reference-format torch_geometric geomData pickle
-                    # (reference dataset/PatchWSI.py:96-105). PyG rows are
-                    # (source, target) with aggregation at the TARGET
-                    # (MessagePassing flow source_to_target), so flip to our
-                    # (dst, src) convention.
-                    from ..utils.io import read_geom_graph
-                    g = read_geom_graph(osp.join(self.graph_path, f"{sid}.pt"))
-                    ei = g[key][::-1].astype(np.int64) + offset
-                    nn_ = int(g["num_nodes"])
-                edges.append(ei)
-                offset += nn_
-            ei = np.concatenate(edges, axis=1)  # [2, E_total]
-            # dst-sorted edges let the segment reductions lower as sorted
-            # (per-slide output is already sorted; concat keeps it sorted
-            # since offsets increase, but enforce for foreign graph files)
-            if not np.all(np.diff(ei[0]) >= 0):
-                ei = ei[:, np.argsort(ei[0], kind="stable")]
-            item["edge_index"] = ei
+            item["edge_index"] = self._load_edges(pid)
         elif self.mode == "patch" and self.coord_path:
             coords = [read_patch_coord(self._coord_file(sid))
                       for sid in self.pid2sid[pid]]
             item["coords"] = np.concatenate(coords, axis=0)
         return item
+
+    def _load_edges(self, pid: str) -> np.ndarray:
+        """Concatenated multi-slide [2, E] (dst, src) edge table for one
+        patient — graph files only, no feature load."""
+        edges = []
+        offset = 0
+        key = "edge_index" if self.edge_agg == "spatial" else "edge_latent"
+        for sid in self.pid2sid[pid]:
+            npz_path = osp.join(self.graph_path, f"{sid}.npz")
+            if osp.exists(npz_path):
+                g = np.load(npz_path)
+                # stored as [2, E] (dst, src) per slide; offset per slide
+                ei = g[key].astype(np.int64) + offset
+                nn_ = int(g["num_nodes"])
+            else:
+                # reference-format torch_geometric geomData pickle
+                # (reference dataset/PatchWSI.py:96-105). PyG rows are
+                # (source, target) with aggregation at the TARGET
+                # (MessagePassing flow source_to_target), so flip to our
+                # (dst, src) convention.
+                from ..utils.io import read_geom_graph
+                g = read_geom_graph(osp.join(self.graph_path, f"{sid}.pt"))
+                ei = g[key][::-1].astype(np.int64) + offset
+                nn_ = int(g["num_nodes"])
+            edges.append(ei)
+            offset += nn_
+        ei = np.concatenate(edges, axis=1)  # [2, E_total]
+        # dst-sorted edges let the segment reductions lower as sorted
+        # (per-slide output is already sorted; concat keeps it sorted
+        # since offsets increase, but enforce for foreign graph files)
+        if not np.all(np.diff(ei[0]) >= 0):
+            ei = ei[:, np.argsort(ei[0], kind="stable")]
+        return ei
+
+    def peek_edges(self, index: int) -> np.ndarray:
+        """Edge table for bag ``index`` WITHOUT loading its features: the
+        batcher's construction-time graph pre-scan reads every bag's edges,
+        and going through __getitem__ would drag the whole feature corpus
+        into host RAM (and the bag cache) before the first batch."""
+        return self._load_edges(self.pids[index])
 
 
 def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
@@ -263,8 +275,7 @@ class BucketBatcher:
         # are fixed before the first batch (advisor r2): deciding mid-epoch
         # would change the batch pytree structure (keys appearing/
         # disappearing) or grow K/R, forcing train-step recompiles. The
-        # scan loads each graph once; with cache_bags they stay cached for
-        # epoch 1.
+        # scan reads ONLY the edge files (peek_edges) — never the features.
         self._band_on = False
         self._band_res_slots = 0
         self._band_u_slots = 0     # >0 => Pallas-kernel row tables shipped
@@ -275,7 +286,7 @@ class BucketBatcher:
             band_edges = band_total = 0
             res_max = u_max = off_max = 0
             for i in range(len(sizes)):
-                e = dataset[i]["edge_index"]  # [2, E] (dst, src), dst-sorted
+                e = dataset.peek_edges(i)  # [2, E] (dst, src), dst-sorted
                 dst, src = e[0], e[1]
                 first = np.searchsorted(dst, dst, side="left")
                 pos = np.arange(dst.shape[0]) - first

@@ -419,6 +419,17 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 0, blk_k: int = 0,
     L = q.shape[1]
     blk_q = blk_q or _auto_block(L)
     blk_k = blk_k or _auto_block(L)
+    if dropout_p > 0.0:
+        # the per-tile PRNG seed packs (batch*head, q-block, k-block) into one
+        # int32 (_dropout_keep); enforce the packing bounds loudly instead of
+        # silently aliasing dropout masks across tiles
+        BH = q.shape[0] * q.shape[2]
+        nq, nk = -(-L // blk_q), -(-L // blk_k)
+        if BH >= 2048 or nq >= 1024 or nk >= 1024:
+            raise ValueError(
+                f"dropout tile-id packing bounds exceeded: batch*heads={BH} "
+                f"(<2048), q-blocks={nq}, k-blocks={nk} (<1024); shrink the "
+                f"batch or raise blk_q/blk_k")
     cfg = (float(dropout_p), int(blk_q), int(blk_k), bool(interpret))
     return _flash(cfg, q, k, v, mask.astype(jnp.float32), seed)
 
@@ -431,11 +442,15 @@ def _keep_mask_kernel(seed_ref, o_ref, *, blk_q, blk_k, dropout_p):
 
 
 def dropout_keep_mask_oracle(seed, BH: int, Lp: int, dropout_p: float,
-                             blk_q: int = 256, blk_k: int = 256):
+                             blk_q: int = 0, blk_k: int = 0):
     """Materialize the exact [BH, Lp, Lp] keep mask the attention kernels
     derive from (seed, tile) — validation/debug only (O(L^2) memory, real
     TPU only). Lets tests compare the dropout path against a materializing
-    einsum oracle bit-for-bit instead of statistically."""
+    einsum oracle bit-for-bit instead of statistically. blk_q/blk_k 0 = the
+    same _auto_block sizing masked_flash_attention defaults to — pass them
+    explicitly ONLY if the kernel call did."""
+    blk_q = blk_q or _auto_block(Lp)
+    blk_k = blk_k or _auto_block(Lp)
     nq, nk = Lp // blk_q, Lp // blk_k
     out = pl.pallas_call(
         functools.partial(_keep_mask_kernel, blk_q=blk_q, blk_k=blk_k,

@@ -49,7 +49,26 @@ def _finish_restore(bundle, params_template, opt_template):
     if params_template is not None:
         params = serialization.from_state_dict(params_template, params)
     if opt_template is not None and opt_state is not None:
-        opt_state = serialization.from_state_dict(opt_template, opt_state)
+        # the most common structural mismatch: `opt_flatten` differed between
+        # save and resume (flattened optimizers keep one fused mu/nu vector
+        # where the per-leaf build keeps a param-shaped tree). from_state_dict
+        # does NOT reliably raise on such mismatches — it can silently graft
+        # dict leaves into the template — so check the tree structure and
+        # surface the knob instead of a delayed pytree error at step time.
+        mismatch = (
+            "optimizer-state layout in the checkpoint does not match the "
+            "rebuilt optimizer. If this checkpoint was saved with a "
+            "different `opt_flatten` setting (it changes the elementwise "
+            "optimizer state to one fused vector), set `opt_flatten` to "
+            "match the saving run and retry.")
+        try:
+            restored = serialization.from_state_dict(opt_template, opt_state)
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"{mismatch} Original error: {e}") from e
+        if (jax.tree_util.tree_structure(restored)
+                != jax.tree_util.tree_structure(opt_template)):
+            raise ValueError(mismatch)
+        opt_state = restored
     return epoch, params, opt_state
 
 

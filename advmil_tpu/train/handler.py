@@ -380,8 +380,9 @@ class AdvHandler(HandlerCommon):
             val_metrics = None
             if val_loaders is not None:
                 for k_i, (k, (ds, batcher)) in enumerate(val_loaders.items()):
+                    assert k_i < 1024, "rng_tag stride exceeded"
                     cltor = self._run_eval(ds, batcher, n_samples=1,
-                                           rng_tag=(epoch + 1) * 8 + k_i)
+                                           rng_tag=(epoch + 1) * 1024 + k_i)
                     met_ci, met_loss = self._eval_and_print(cltor, name=k,
                                                             at_epoch=epoch + 1)
                     if k == val_name:
@@ -474,7 +475,8 @@ class AdvHandler(HandlerCommon):
         # counter is only the fallback for ad-hoc callers.
         if rng_tag is None:
             self._eval_calls = getattr(self, "_eval_calls", 0) + 1
-            rng_tag = self._eval_calls
+            # offset into a domain disjoint from the epoch-derived tags
+            rng_tag = (1 << 29) + self._eval_calls
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg["seed"] + 777),
                                  rng_tag)
         cltor = {"y": [], "y_hat": [], "f_fake": [], "idx": []}
@@ -548,12 +550,13 @@ class AdvHandler(HandlerCommon):
         metrics = {}
         for k_i, (k, (ds, batcher)) in enumerate(evals_loader.items()):
             # tag domain disjoint from the training-loop epoch tags (which
-            # are (epoch+1)*8 + split < 8*(epochs+1); checkpoint evals sit
-            # past 1_000_000) so resumed runs reproduce their curves
+            # are (epoch+1)*1024 + split, < 2^29 for any real epoch count;
+            # ad-hoc fallback counters sit at 2^29+; checkpoint evals at 2^30)
+            # so resumed runs reproduce their curves
             cltor = self._run_eval(ds, batcher, n_samples=sampling_times,
                                    zero_noise=test_zero_noise,
                                    params_G=pG, params_D=pD,
-                                   rng_tag=1_000_000
+                                   rng_tag=(1 << 30)
                                    + (1 if ckpt_type == "best" else 2) * 16
                                    + k_i)
             ci, loss = self._eval_and_print(cltor, name=f"{wandb_group}/{k}")

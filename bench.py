@@ -279,7 +279,7 @@ def bench_long_bag_flash(batch_n: int = 16384, batch_b: int = 8) -> dict:
     """Long-bag ESAT training (N=16384 patches -> L=1024 regions): the regime
     where the Pallas flash-attention kernels (fwd + custom-VJP bwd + in-kernel
     dropout) carry the transformer layer instead of the materializing einsum
-    (gate: models/layers.py _masked_mha, L >= flash_min_len=256 on TPU).
+    (gate: models/layers.py _masked_mha, L >= flash_min_len=512 on TPU).
     Runs BOTH paths and reports the flash throughput with the einsum
     comparison inline, so the kernel's win (or loss) is re-measured every
     round (VERDICT r2 #1). Reference counterpart: cuDNN attention inside

@@ -101,6 +101,25 @@ class TestBuckets:
             assert batch.feats.shape[1] in batcher.buckets
         assert sorted(seen) == list(range(len(ds)))
 
+    def test_peek_edges_matches_item_without_feature_load(self, tmp_path):
+        """The batcher's graph pre-scan uses peek_edges — it must return the
+        exact edge table __getitem__ builds, and must not populate the bag
+        cache (i.e. not drag features into RAM at batcher construction)."""
+        paths = make_synthetic_dataset(str(tmp_path), n_patients=6, dim=16,
+                                       min_regions=2, max_regions=4, seed=9)
+        ds = BagDataset(paths["pids"], paths["path_patch"], paths["path_label"],
+                        "graph", read_format="npy", time_format="ratio",
+                        graph_path=paths["path_graph"], cache=True)
+        for i in range(len(ds)):
+            np.testing.assert_array_equal(ds.peek_edges(i),
+                                          ds[i]["edge_index"])
+        ds2 = BagDataset(paths["pids"], paths["path_patch"],
+                         paths["path_label"], "graph", read_format="npy",
+                         time_format="ratio", graph_path=paths["path_graph"],
+                         cache=True)
+        ds2.peek_edges(0)
+        assert not ds2._cache  # peek loaded no bags
+
     def test_graph_rev_tables_sized_to_observed_outdegree(self, tmp_path):
         # 'auto' reverse tables must be padded to the OBSERVED max
         # out-degree (rounded to 8), not the 2*epn disable cap — the padded
@@ -205,6 +224,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert epoch == 3
     np.testing.assert_array_equal(p["dense"]["kernel"], params["dense"]["kernel"])
     assert int(o["count"]) == 7
+
+
+def test_checkpoint_opt_layout_mismatch_names_the_knob(tmp_path):
+    """A checkpoint saved under one `opt_flatten` setting and resumed under
+    the other has a structurally different optimizer state (fused mu/nu
+    vector vs per-leaf tree); the restore error must name `opt_flatten`
+    instead of surfacing a bare pytree KeyError."""
+    import jax.numpy as jnp
+    import optax
+    from advmil_tpu.train import checkpoint as ck
+    from advmil_tpu.train.optim import create_optimizer
+    params = {"dense": {"kernel": jnp.ones((4, 3)), "bias": jnp.zeros(3)}}
+    tx_flat = create_optimizer("adam", 1e-3, weight_decay=0.0, flatten=True)
+    tx_leaf = create_optimizer("adam", 1e-3, weight_decay=0.0, flatten=False)
+    path = str(tmp_path / "m.ckpt")
+    ck.save_checkpoint(path, 2, params, tx_leaf.init(params))
+    with pytest.raises(ValueError, match="opt_flatten"):
+        ck.restore_checkpoint(path, params, tx_flat.init(params))
+    # matching layout restores fine
+    epoch, _, o = ck.restore_checkpoint(path, params, tx_leaf.init(params))
+    assert epoch == 2
 
 
 def test_checkpoint_orbax_roundtrip(tmp_path):

@@ -72,7 +72,16 @@ def _run_two_process(script, extra_env, timeout=900, attempts=3):
             procs.append(subprocess.Popen(
                 [sys.executable, str(script)], env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-        results = [p.communicate(timeout=timeout) for p in procs]
+        try:
+            results = [p.communicate(timeout=timeout) for p in procs]
+        except subprocess.TimeoutExpired:
+            # don't leak the sibling rank (it would hold its coordinator
+            # socket and a CPU core for the rest of the session)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+            raise
         codes = [p.returncode for p in procs]
         last = (codes, results)
         if all(c == 0 for c in codes):
