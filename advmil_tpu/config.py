@@ -50,6 +50,11 @@ TPU_DEFAULTS = {
     "graph_banded": "auto",        # auto|off
     "cache_bags": True,
     "accum_steps": 1,
+    # with accum_steps>1: drop the trailing partial accumulator at epoch end,
+    # exactly like the reference drops its trailing < bp_every_batch bags
+    # (model/baseline_handler.py:296-324). Off by default: carrying the
+    # remainder wastes no gradients.
+    "accum_drop_remainder": False,
     "ckpt_backend": "msgpack",     # msgpack (one file) | orbax (directory)
     "profile_dir": None,
     # persistent XLA compilation cache: bucket-shape compiles are the dominant

@@ -28,7 +28,8 @@ from ..utils.io import (read_datasplit_npz, read_maxt_from_table,
                         save_prediction)
 from . import checkpoint as ckpt_lib
 from .common import HandlerCommon
-from .optim import create_optimizer, ReduceLROnPlateau
+from .optim import (create_optimizer, ReduceLROnPlateau,
+                    reset_multisteps_accum)
 from .steps import (BaseTrainState, make_base_train_step, make_eval_step,
                     make_supervised_loss)
 
@@ -104,6 +105,11 @@ class BaselineHandler(HandlerCommon):
         # optional gradient accumulation, mirroring AdvHandler: MultiSteps
         # INSIDE inject_hyperparams so plateau LR stays addressable
         accum = int(cfg.get("accum_steps", 1) or 1)
+        # reference parity option: drop the trailing partial accumulator at
+        # epoch end like the reference drops its trailing < bp_every_batch
+        # bags (see reset_multisteps_accum)
+        self._accum_drop_remainder = (
+            accum > 1 and bool(cfg.get("accum_drop_remainder", False)))
         if self.second_order:
             assert accum == 1, "accum_steps is not supported with adahessian"
             from .optim import adahessian
@@ -288,6 +294,9 @@ class BaselineHandler(HandlerCommon):
                              for k, v in metrics.items()})
         cltor["y_hat"] = [np.asarray(v)[keep]
                           for v, keep in zip(pending_preds, keeps)]
+        if self._accum_drop_remainder:
+            self.state = self.state.replace(
+                opt=reset_multisteps_accum(self.state.opt))
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
     # -- evaluation --

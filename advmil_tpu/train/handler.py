@@ -32,7 +32,8 @@ from ..utils.io import (read_datasplit_npz, read_maxt_from_table,
                         save_prediction)
 from . import checkpoint as ckpt_lib
 from .common import HandlerCommon
-from .optim import create_optimizer, ReduceLROnPlateau
+from .optim import (create_optimizer, ReduceLROnPlateau,
+                    reset_multisteps_accum)
 from .steps import (AdvTrainState, make_adv_train_step, make_eval_step,
                     make_supervised_loss)
 
@@ -112,6 +113,11 @@ class AdvHandler(HandlerCommon):
         # addressable by ReduceLROnPlateau (_set_lr) — the reference always
         # has plateau LR active (model/model_handler.py:109,289).
         accum = int(cfg.get("accum_steps", 1) or 1)
+        # reference parity option: drop the trailing partial accumulator at
+        # epoch end like the reference drops its trailing < bp_every_batch
+        # bags (see reset_multisteps_accum)
+        self._accum_drop_remainder = (
+            accum > 1 and bool(cfg.get("accum_drop_remainder", False)))
 
         def make_G_tx(learning_rate):
             tx = create_optimizer(cfg["opt_netG"], learning_rate,
@@ -448,6 +454,10 @@ class AdvHandler(HandlerCommon):
         for out, keep in zip(pending_out, keeps):
             cltor["y_hat"].append(np.asarray(out["y_hat"])[keep])
             cltor["f_fake"].append(np.asarray(out["f_fake"])[keep])
+        if self._accum_drop_remainder:
+            self.state = self.state.replace(
+                opt_G=reset_multisteps_accum(self.state.opt_G),
+                opt_D=reset_multisteps_accum(self.state.opt_D))
         return {k: np.concatenate(v, axis=0) for k, v in cltor.items()}
 
     # ------------------------------------------------------------------

@@ -408,6 +408,33 @@ def adahessian(learning_rate: float, b1=0.9, b2=0.999, eps=1e-8,
     return optax.GradientTransformationExtraArgs(init, update)
 
 
+def reset_multisteps_accum(opt_state):
+    """Zero every ``optax.MultiStepsState`` accumulator in ``opt_state``.
+
+    Matches the reference's epoch-boundary regime: its handlers step only on
+    every ``bp_every_batch``-th bag and at epoch end simply discard the
+    trailing remainder's collected bags without an optimizer step (reference
+    model/baseline_handler.py:296-324 — collectors reset only inside the
+    ``i_batch % bp_every_batch == 0`` branch, no post-loop flush; same shape
+    in model/model_handler.py:301-345). ``optax.MultiSteps`` instead carries
+    the partial accumulator into the next epoch and eventually steps on it.
+    Calling this at epoch end (config ``accum_drop_remainder``) drops the
+    partial mini-step exactly like the reference. No-op when no MultiSteps
+    state is present. ``gradient_step`` and the inner optimizer state are
+    preserved.
+    """
+    def _reset(s):
+        if isinstance(s, optax.MultiStepsState):
+            return s._replace(
+                mini_step=jnp.zeros_like(s.mini_step),
+                acc_grads=jax.tree_util.tree_map(jnp.zeros_like, s.acc_grads))
+        return s
+
+    return jax.tree_util.tree_map(
+        _reset, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.MultiStepsState))
+
+
 # ---------------------------------------------------------------------------
 # Plateau LR schedule (torch ReduceLROnPlateau semantics; reference
 # model/model_handler.py:109,289)

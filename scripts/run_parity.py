@@ -172,15 +172,15 @@ def ours_extra(cfg: dict) -> dict:
 def ours_refregime(cfg: dict) -> dict:
     """Emulate the reference's optimization regime: one bag per microbatch,
     optimizer step every 16 bags (reference batch_size=1 + bp_every_batch=16,
-    model_handler.py:303-330) — isolates modeling parity from the
-    true-batching improvement. One residual regime difference: the reference
-    drops each epoch's trailing remainder of < bp_every_batch bags without an
-    optimizer step, while optax.MultiSteps carries the accumulator across the
-    epoch boundary and eventually steps on it."""
+    model_handler.py:303-330), and the trailing < 16-bag remainder of each
+    epoch dropped without an optimizer step (accum_drop_remainder, matching
+    reference baseline_handler.py:296-324's no-post-loop-flush behavior) —
+    isolates modeling parity from the true-batching improvement."""
     cfg = ours_extra(cfg)
     cfg.update({
         "batch_max_size": 1,
         "accum_steps": 16,
+        "accum_drop_remainder": True,
     })
     return cfg
 
@@ -341,6 +341,17 @@ def main():
         ntrim = max(1, n // 10) if n >= 10 else 0
         dv_sorted = np.sort(dv)
         dv_trim = dv_sorted[ntrim:n - ntrim] if ntrim else dv_sorted
+        # c-index quantum: the val metric moves in steps of
+        # 1/(comparable pairs) per fold, so the smallest nonzero gap among
+        # observed values bounds the resolution any delta can have
+        vals = np.unique(np.concatenate([rv, ov]))
+        quantum = float(np.diff(vals).min()) if len(vals) > 1 else 0.0
+        # two-sided sign test on the nonzero paired deltas
+        npos, nneg = int((dv > 0).sum()), int((dv < 0).sum())
+        nz = npos + nneg
+        sign_p = (float(min(1.0, 2.0 * sum(
+            math.comb(nz, i) for i in range(min(npos, nneg) + 1)) / 2.0**nz))
+            if nz else 1.0)
         results[task] = {
             "rows": rows,
             "ref_val_mean": float(rv.mean()), "ref_val_std": float(rv.std()),
@@ -356,6 +367,9 @@ def main():
             "paired_val_t": t_stat,
             "n_runs": n,
             "primary_criterion_pass": bool(abs(np.median(dv)) <= 0.005),
+            "val_cindex_quantum": quantum,
+            "sign_test_p": sign_p,
+            "n_pos": npos, "n_neg": nneg,
         }
 
     with open(osp.join(REPO, "PARITY.json"), "w") as f:
@@ -424,8 +438,25 @@ def write_report(results: dict, args):
             f"{r['paired_val_delta_mean']:+.4f} ± {r['paired_val_delta_std']:.4f}"
             f" (median {r['paired_val_delta_median']:+.4f}, "
             f"t = {r['paired_val_t']:.2f}, n = {r['n_runs']})",
+            f"- metric resolution: smallest observed val c-index gap = "
+            f"{r.get('val_cindex_quantum', 0.0):.4f} (one discordant-pair "
+            f"flip); sign test on paired deltas: {r.get('n_pos', 0)}+ / "
+            f"{r.get('n_neg', 0)}− → p = {r.get('sign_test_p', 1.0):.2f}",
             "",
         ]
+        if (task.startswith("base_") and not task.endswith("_refregime")
+                and f"{task}_refregime" in results):
+            lines += [
+                f"This arm compares two different optimization regimes by "
+                f"design — the reference steps on 16 accumulated single-bag "
+                f"grads while ours trains true padded batches — so its delta "
+                f"entangles modeling parity with the batching-regime change. "
+                f"The modeling-parity claim for this task is the "
+                f"`{task}_refregime` arm below, which equalizes the regime; "
+                f"a positive median here (ours higher) measures the regime "
+                f"improvement, not a parity failure.",
+                "",
+            ]
         if task.startswith("base_cox"):
             lines += [
                 "Note the low absolute c-index values: the reference's "
@@ -469,11 +500,10 @@ def write_report(results: dict, args):
                 "`accum_steps: 16`, matching reference batch_size=1 + "
                 "bp_every_batch=16) against the same reference runs — it "
                 "isolates modeling parity from the true-batching optimization "
-                "improvement. One residual regime difference remains: the "
-                "reference drops each epoch's trailing remainder of < "
-                "bp_every_batch bags without an optimizer step, while "
-                "optax.MultiSteps carries the accumulator across the epoch "
-                "boundary and eventually steps on it.",
+                "improvement. `accum_drop_remainder: true` additionally "
+                "drops each epoch's trailing remainder of < bp_every_batch "
+                "bags without an optimizer step, exactly as the reference "
+                "does (no post-loop flush, baseline_handler.py:296-324).",
                 "",
             ]
     seeds = " ".join(str(s) for s in args.seeds)

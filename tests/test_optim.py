@@ -213,3 +213,53 @@ def test_flatten_skips_per_tensor_optimizers():
     leaves = jax.tree_util.tree_leaves(state)
     # per-leaf mu/nu survive (flattened state would hold single 20-el vectors)
     assert any(l.shape == (4, 4) for l in leaves if hasattr(l, "shape"))
+
+
+def test_reset_multisteps_accum_drops_partial_remainder():
+    """accum_drop_remainder regime: zeroing the MultiSteps accumulator at an
+    epoch boundary must make training identical to never having fed the
+    trailing partial micro-batches (reference drops its trailing
+    < bp_every_batch bags without a step, baseline_handler.py:296-324)."""
+    from advmil_tpu.train.optim import reset_multisteps_accum
+
+    params = {"w": jnp.asarray(W0)}
+    k = 4
+
+    def make():
+        tx = optax.MultiSteps(optax.adam(1e-2), every_k_schedule=k)
+        return tx, tx.init(params)
+
+    # arm A: full group of k, then 2 trailing grads, reset, another full group
+    tx, sa = make()
+    pa = params
+    seq_a = GRADS[:k] + GRADS[:2] + ["RESET"] + GRADS[1:1 + k]
+    for g in seq_a:
+        if isinstance(g, str):
+            sa = reset_multisteps_accum(sa)
+            continue
+        u, sa = tx.update({"w": jnp.asarray(g)}, sa, pa)
+        pa = optax.apply_updates(pa, u)
+
+    # arm B: same stream with the trailing partial grads simply absent
+    tx, sb = make()
+    pb = params
+    for g in GRADS[:k] + GRADS[1:1 + k]:
+        u, sb = tx.update({"w": jnp.asarray(g)}, sb, pb)
+        pb = optax.apply_updates(pb, u)
+
+    np.testing.assert_array_equal(np.asarray(pa["w"]), np.asarray(pb["w"]))
+    # gradient_step (inner step count) survived the reset
+    assert int(sa.gradient_step) == int(sb.gradient_step) == 2
+
+
+def test_reset_multisteps_accum_noop_without_multisteps():
+    """No MultiSteps in the tree -> state returned structurally unchanged."""
+    from advmil_tpu.train.optim import reset_multisteps_accum
+
+    params = {"w": jnp.ones((3,))}
+    tx = optax.adam(1e-3)
+    state = tx.init(params)
+    out = reset_multisteps_accum(state)
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

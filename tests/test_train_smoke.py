@@ -210,8 +210,9 @@ def test_baseline_grad_accum_refregime(synth, tmp_path):
     from advmil_tpu.train.baseline import BaselineHandler
     from tests.test_handlers_modes import baseline_cfg
     cfg = baseline_cfg(synth, tmp_path, epochs=2, accum_steps=4,
-                       batch_max_size=1)
+                       batch_max_size=1, accum_drop_remainder=True)
     handler = BaselineHandler(cfg)
+    assert handler._accum_drop_remainder
     lr0 = float(handler.state.opt.hyperparams["learning_rate"])
     assert lr0 == pytest.approx(cfg["opt_net_lr"], rel=1e-6)
     handler._set_lr(lr0 * 0.5)
