@@ -252,6 +252,11 @@ class BucketBatcher:
         self.batch_multiple = batch_multiple  # e.g. the DP device count
         self.prefetch_depth = 2  # set from cfg num_workers by the handlers
         self._warned_edge_truncation = False
+        # per-bag edge/band/reverse tables, keyed by dataset index (graph
+        # mode): static per bag, so computed once and reused every epoch.
+        # Follows the dataset's bag-cache policy (cache_bags=False = tight
+        # host RAM; the tables are ~2% of the feature cache).
+        self._tab_cache = {} if dataset._cache is not None else None
         # reverse edge tables (graph mode) make the GNN's message-gather
         # backward scatter-free, but padding the table to the max out-degree
         # costs gather volume: measured on-TPU, rev-gather wins when the max
@@ -329,6 +334,60 @@ class BucketBatcher:
                 self._rev_disabled = True
             else:
                 self._rev_slots = k_cols
+
+    def _graph_tables(self, it: dict, bucket_n: int) -> dict:
+        """Per-bag padded edge / band / reverse tables (graph mode).
+
+        Pure function of the bag's static edge list and the pre-scan's
+        fixed slot counts, so the result is cached by dataset index and
+        reused every epoch; tail-filler duplicates hit the cache too. With
+        banding on, only the band/residual tables are kept — the dense
+        [bucket_n, epn] edge tables are a construction intermediate and
+        never shipped to the device (the banded aggregation replaces the
+        message gather entirely, forward and backward)."""
+        idx = int(it["index"])
+        if self._tab_cache is not None:
+            cached = self._tab_cache.get(idx)
+            if cached is not None and cached["_bucket_n"] == bucket_n:
+                return cached
+        epn = self.edges_per_node
+        e = it["edge_index"]  # [2, E] rows (dst, src), dst-sorted
+        dst, src = e[0], e[1]
+        # slot of each edge within its dst group (dst is sorted)
+        first = np.searchsorted(dst, dst, side="left")
+        pos = np.arange(dst.shape[0]) - first
+        keep = pos < epn
+        dropped = int((~keep).sum())
+        if dropped and not self._warned_edge_truncation:
+            self._warned_edge_truncation = True
+            print(f"[batcher] WARNING: node in-degree exceeds {epn}; "
+                  f"dropping {dropped} edges per bag (raise "
+                  f"graph_edges_per_node)")
+        esrc = np.zeros((bucket_n, epn), np.int32)
+        em = np.zeros((bucket_n, epn), np.float32)
+        esrc[dst[keep], pos[keep]] = src[keep]
+        em[dst[keep], pos[keep]] = 1.0
+        tabs = {"_bucket_n": bucket_n}
+        if self._band_on:
+            from ..ops.segment import build_band_tables
+            o, bmk, rn, rs, rm = build_band_tables(
+                esrc, em, res_slots=self._band_res_slots)
+            tabs.update(band_offs=o, band_mask=bmk, res_node=rn,
+                        res_src=rs, res_mask=rm)
+            if self._band_u_slots:
+                from ..ops.banded_pallas import build_u_tables
+                ur, us, ue = build_u_tables(esrc, em, bmk,
+                                            u_slots=self._band_u_slots)
+                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue)
+        else:
+            tabs.update(edge_src=esrc, edge_mask=em)
+            if self.scatter_free != "off" and not self._rev_disabled:
+                ri, rm = build_reverse_edge_table(esrc, em,
+                                                  k=self._rev_slots)
+                tabs.update(rev_idx=ri, rev_mask=rm)
+        if self._tab_cache is not None:
+            self._tab_cache[idx] = tabs
+        return tabs
 
     def batch_size_for(self, bucket_n: int) -> int:
         bb = int(np.clip(self.token_budget // bucket_n, 1, self.max_batch))
@@ -425,81 +484,36 @@ class BucketBatcher:
                 cid[j, :n] = it["cluster_id"]
             extra["cluster_id"] = cid
         elif self.ds.mode == "graph":
-            # node-bucketed DENSE edge layout: per destination node, up to
-            # `edges_per_node` incoming source indices. kNN graphs have a
-            # bounded in-degree, so this is lossless for tool-built graphs;
-            # the dense table lets the GNN aggregate with a masked softmax
-            # instead of scatters (ops/segment.knn_edge_softmax_aggregate).
-            epn = self.edges_per_node
-            esrc = np.zeros((bb, bucket_n, epn), np.int32)
-            em = np.zeros((bb, bucket_n, epn), np.float32)
-            for j, it in enumerate(items):
-                e = it["edge_index"]  # [2, E] rows (dst, src), dst-sorted
-                dst, src = e[0], e[1]
-                # slot of each edge within its dst group (dst is sorted)
-                first = np.searchsorted(dst, dst, side="left")
-                pos = np.arange(dst.shape[0]) - first
-                keep = pos < epn
-                dropped = int((~keep).sum())
-                if dropped and not self._warned_edge_truncation:
-                    self._warned_edge_truncation = True
-                    print(f"[batcher] WARNING: node in-degree exceeds "
-                          f"{epn}; dropping {dropped} edges per bag (raise "
-                          f"graph_edges_per_node)")
-                esrc[j, dst[keep], pos[keep]] = src[keep]
-                em[j, dst[keep], pos[keep]] = 1.0
-            extra["edge_src"] = esrc
-            extra["edge_mask"] = em
-            # banded streaming tables (decision + residual slot count fixed
-            # by the construction-time pre-scan): per-slot modal offsets,
-            # band membership mask, and the exact residual edge list
+            # Per-bag edge/band/reverse tables are pure functions of each
+            # bag's STATIC graph and the pre-scan's fixed slot counts, so
+            # they are computed once per bag and cached (advisor r3) —
+            # without the cache the band decomposition re-ran for every bag
+            # in every batch of every epoch on the host hot path.
+            per = [self._graph_tables(it, bucket_n) for it in items]
             if self._band_on:
-                from ..ops.segment import build_band_tables
-                R = self._band_res_slots
-                U = self._band_u_slots
-                b_offs = np.zeros((bb, epn), np.int32)
-                b_mask = np.zeros((bb, bucket_n, epn), np.float32)
-                r_node = np.zeros((bb, R), np.int32)
-                r_src = np.zeros((bb, R), np.int32)
-                r_mask = np.zeros((bb, R), np.float32)
-                if U:
-                    from ..ops.banded_pallas import build_u_tables
-                    u_rows = np.zeros((bb, U), np.int32)
-                    u_src = np.zeros((bb, U, epn), np.int32)
-                    u_emask = np.zeros((bb, U, epn), np.float32)
-                for j in range(bb):
-                    o, bmk, rn_, rs_, rm_ = build_band_tables(
-                        esrc[j], em[j], res_slots=R)
-                    b_offs[j], b_mask[j] = o, bmk
-                    r_node[j], r_src[j], r_mask[j] = rn_, rs_, rm_
-                    if U:
-                        ur, us, ue = build_u_tables(esrc[j], em[j], bmk,
-                                                    u_slots=U)
-                        u_rows[j], u_src[j], u_emask[j] = ur, us, ue
-                extra["band_offs"] = b_offs
-                extra["band_mask"] = b_mask
-                extra["res_node"] = r_node
-                extra["res_src"] = r_src
-                extra["res_mask"] = r_mask
-                if U:
-                    extra["band_urows"] = u_rows
-                    extra["band_usrc"] = u_src
-                    extra["band_uemask"] = u_emask
-            # reverse tables: make the message-gather backward scatter-free
-            # (ops/segment.gather_rows_rev). The column count K and the
-            # auto on/off decision were fixed by the construction-time
-            # pre-scan, so every batch shares one pytree structure and one
-            # compiled K.
-            elif self.scatter_free != "off" and not self._rev_disabled:
-                K = self._rev_slots
-                rev_idx = np.zeros((bb, bucket_n, K), np.int32)
-                rev_mask = np.zeros((bb, bucket_n, K), np.float32)
-                for j in range(bb):
-                    ri, rm = build_reverse_edge_table(esrc[j], em[j], k=K)
-                    rev_idx[j] = ri
-                    rev_mask[j] = rm
-                extra["rev_idx"] = rev_idx
-                extra["rev_mask"] = rev_mask
+                # banded streaming: the message gather (and therefore the
+                # dense [N, epn] edge tables) never reaches the device —
+                # ship only the band/residual tables (advisor r3)
+                keys = ["band_offs", "band_mask", "res_node", "res_src",
+                        "res_mask"]
+                if self._band_u_slots:
+                    keys += ["band_urows", "band_usrc", "band_uemask"]
+            else:
+                # node-bucketed DENSE edge layout: per destination node, up
+                # to `edges_per_node` incoming source indices. kNN graphs
+                # have bounded in-degree, so this is lossless for tool-built
+                # graphs; the dense table lets the GNN aggregate with a
+                # masked softmax instead of scatters
+                # (ops/segment.knn_edge_softmax_aggregate). Reverse tables
+                # (optional) make the gather's VJP scatter-free; their
+                # column count K and the auto on/off decision were fixed by
+                # the construction-time pre-scan, so every batch shares one
+                # pytree structure and one compiled K.
+                keys = ["edge_src", "edge_mask"]
+                if self.scatter_free != "off" and not self._rev_disabled:
+                    keys += ["rev_idx", "rev_mask"]
+            for k in keys:
+                extra[k] = np.stack([t[k] for t in per])
         elif self.ds.mode == "patch" and "coords" in items[0]:
             # region-level coords: one per 16 patches
             Lb = bucket_n // 16

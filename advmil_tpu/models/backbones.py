@@ -193,8 +193,13 @@ class PatchGCN(nn.Module):
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
         dim_in, dim_hid, dim_out = self.dims
-        edge_index = extra["edge_src"]                   # [B, N, epn]
-        edge_mask = extra["edge_mask"]                   # [B, N, epn]
+        # [B, N, epn] dense edge tables; absent (None) under banded
+        # streaming, where the batcher ships band tables instead and the
+        # message gather never happens
+        edge_index = extra.get("edge_src") if hasattr(extra, "get") \
+            else extra["edge_src"]
+        edge_mask = extra.get("edge_mask") if hasattr(extra, "get") \
+            else extra["edge_mask"]
         # reverse edge table [B, N, K]: optional, makes the message-gather
         # VJP scatter-free (ops/segment.gather_rows_rev)
         rev_idx = extra.get("rev_idx") if hasattr(extra, "get") else None

@@ -563,6 +563,7 @@ class AdvHandler(HandlerCommon):
             # are (epoch+1)*1024 + split, < 2^29 for any real epoch count;
             # ad-hoc fallback counters sit at 2^29+; checkpoint evals at 2^30)
             # so resumed runs reproduce their curves
+            assert k_i < 16, "rng_tag ckpt-eval stride (16) exceeded"
             cltor = self._run_eval(ds, batcher, n_samples=sampling_times,
                                    zero_noise=test_zero_noise,
                                    params_G=pG, params_D=pD,

@@ -41,17 +41,15 @@ def _gen_extra(batch: dict, bcb_mode: str):
     if bcb_mode == "cluster":
         return batch["cluster_id"]
     if bcb_mode == "graph":
-        extra = {"edge_src": batch["edge_src"], "edge_mask": batch["edge_mask"]}
-        if "rev_idx" in batch:  # scatter-free backward (ops/segment.py)
-            extra["rev_idx"] = batch["rev_idx"]
-            extra["rev_mask"] = batch["rev_mask"]
-        if "band_offs" in batch:  # banded streaming (ops/segment.py)
-            for k in ("band_offs", "band_mask", "res_node", "res_src",
-                      "res_mask"):
+        # with banded streaming the batcher ships only band/residual tables
+        # (no dense edge tables reach the device); otherwise edge_src /
+        # edge_mask and optionally the scatter-free reverse tables
+        extra = {}
+        for k in ("edge_src", "edge_mask", "rev_idx", "rev_mask",
+                  "band_offs", "band_mask", "res_node", "res_src",
+                  "res_mask", "band_urows", "band_usrc", "band_uemask"):
+            if k in batch:
                 extra[k] = batch[k]
-            if "band_urows" in batch:  # Pallas kernel row-level residuals
-                for k in ("band_urows", "band_usrc", "band_uemask"):
-                    extra[k] = batch[k]
         return extra
     if bcb_mode == "patch":
         return batch.get("coords")  # None unless coords supplied

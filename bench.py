@@ -116,6 +116,10 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         batch["band_uemask"] = jnp.asarray(uem)
         extra_init = {"edge_src": batch["edge_src"][:1],
                       "edge_mask": batch["edge_mask"][:1]}
+        # the batcher no longer ships dense edge tables alongside band
+        # tables (the banded aggregation replaces the gather entirely);
+        # match that contract in the steady-state batch
+        del batch["edge_src"], batch["edge_mask"]
     else:
         extra_init = None
 

@@ -16,6 +16,7 @@ Writes PARITY.md and PARITY.json at the repo root.
 import argparse
 import ast
 import json
+import math
 import os
 import os.path as osp
 import re

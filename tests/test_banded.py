@@ -109,9 +109,22 @@ def test_batcher_banded_auto_decision(tmp_path):
     for k in ("band_offs", "band_mask", "res_node", "res_src", "res_mask"):
         assert k in batch.extra, k
     assert "rev_idx" not in batch.extra
+    # banded streaming replaces the message gather entirely: the dense
+    # [N, epn] edge tables must NOT be shipped to the device
+    assert "edge_src" not in batch.extra
+    assert "edge_mask" not in batch.extra
     # residual slot count fixed across batches (static pytree)
     Rs = {bt.extra["res_node"].shape[1] for bt in b_on.epoch_batches()}
     assert len(Rs) == 1
+    # per-bag tables are cached after the first epoch (static graphs):
+    # a second pass must reuse the same objects, not recompute
+    assert b_on._tab_cache is not None and len(b_on._tab_cache) > 0
+    cached_ids = {id(t["band_mask"]) for t in b_on._tab_cache.values()}
+    batch2 = next(iter(b_on.epoch_batches()))
+    assert {id(t["band_mask"])
+            for t in b_on._tab_cache.values()} == cached_ids
+    np.testing.assert_array_equal(batch2.extra["band_offs"],
+                                  batch.extra["band_offs"])
 
     b_off = BucketBatcher(ds, token_budget=512, min_bucket=32,
                           edges_per_node=8, scatter_free="on", banded="off")
