@@ -11,11 +11,16 @@ Usage: python scripts/bench_opt_flatten.py [--mode patch] [--n 3392] [--b 32]
 """
 import argparse
 import functools
+import os
 import statistics
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+if os.environ.get("ADVMIL_FORCE_CPU") == "1":  # same escape hatch as main.py
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def measure(mode: str, batch_n: int, batch_b: int, reps: int = 5):

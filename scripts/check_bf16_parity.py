@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+if os.environ.get("ADVMIL_FORCE_CPU") == "1":  # same escape hatch as main.py
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run(precision: str, paths, seed: int, epochs: int, outdir: str):
     from advmil_tpu.config import with_defaults
