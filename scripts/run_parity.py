@@ -250,6 +250,10 @@ def main():
                     help="tasks whose resumed rows only seed the reference "
                          "cache; OUR side re-runs (use after a fix that "
                          "changes our training, keeping the ref runs)")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="summarize resumed rows only — never launch runs; "
+                         "(task, fold, seed) combos absent from --resume are "
+                         "skipped, so arms may report different n")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -294,6 +298,8 @@ def main():
                     if task not in args.rerun_ours_for:
                         rows.append(row)
                         continue
+                elif args.resume_only:
+                    continue
                 if cache_key in ref_cache:
                     ref, t_ref = ref_cache[cache_key]
                 else:
@@ -332,6 +338,8 @@ def main():
                 ckpt[task] = {"rows": rows}
                 with open(osp.join(args.workdir, "parity_ckpt.json"), "w") as f:
                     json.dump(ckpt, f)
+        if not rows:  # possible under --resume-only with a foreign json
+            continue
         rv = np.array([r["ref_val"] for r in rows])
         ov = np.array([r["ours_val"] for r in rows])
         rt = np.array([r["ref_test"] for r in rows])
