@@ -38,6 +38,7 @@ TPU_DEFAULTS = {
     "opt_flatten": True,           # run elementwise optimizers on one flat
                                    # vector (exact; kills per-leaf op tail)
     "use_fused_embedding": False,  # fused Pallas Dense+LN+ReLU+region-mean
+    "use_fused_lnpool": True,      # fused Pallas LN+ReLU+region-mean (no matmul)
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,
     "graph_edge_agg": "spatial",

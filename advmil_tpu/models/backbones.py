@@ -150,6 +150,10 @@ class GENConv(nn.Module):
         h = x + aggr
         # MLP channels [C, 2C, C] with LayerNorm+ReLU between (pyg MLP, norm='layer')
         h = make_dense(2 * self.dim, self.dense_init, in_features=self.dim, name="mlp0")(h)
+        # NOT the fused ops/ln_pool.ln_relu kernel: measured 789 vs 848 bags/s
+        # end-to-end (BENCHNOTES "plain LN+ReLU fusion in GENConv") — XLA
+        # fuses this chain with the latency-bound MLP matmuls, and breaking
+        # that fusion costs more than the kernel saves at [3392, 768]
         h = nn.LayerNorm(dtype=compute_dtype(), name="mlp_norm")(h)
         h = nn.relu(h)
         h = make_dense(self.dim, self.dense_init, in_features=2 * self.dim, name="mlp1")(h)
@@ -173,6 +177,8 @@ class DeepGCNBlock(nn.Module):
                     use_pallas=self.use_pallas, name="conv")(
             x, edge_index, edge_mask, rev_idx, rev_mask, band,
             deterministic=self.det)
+        # unfused on purpose — same measured negative result as GENConv's
+        # mlp_norm (see comment there / BENCHNOTES)
         h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
         h = nn.relu(h)
         h = x + h
@@ -281,6 +287,7 @@ class DualTransHS(nn.Module):
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
     use_fused_embed: bool = False
+    use_lnpool: bool = True
     flash_min_len: int = 512
 
     @nn.compact
@@ -290,6 +297,7 @@ class DualTransHS(nn.Module):
         emb = make_embedding_layer(self.emb_backbone, dim_in, dim_hid,
                                    ksize=self.emb_ksize,
                                    use_fused=self.use_fused_embed,
+                                   use_lnpool=self.use_lnpool,
                                    name="patch_embedding")(
             x, mask, deterministic=deterministic)        # [B, L, hid]
         rmask = region_mask_from_patch_mask(mask)        # [B, L]
@@ -315,6 +323,7 @@ class DualTransHS(nn.Module):
 def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XAVIER,
                   use_pallas: bool = True, num_graph_layers: int = 1,
                   use_fused_embed: bool = False,
+                  use_lnpool: bool = True,
                   tra_backbone: str = "Transformer",
                   flash_min_len: int = 512) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
@@ -325,6 +334,7 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
                            tra_backbone=tra_backbone,
                            dropout=0.25, dense_init=dense_init,
                            use_pallas=use_pallas, use_fused_embed=use_fused_embed,
+                           use_lnpool=use_lnpool,
                            flash_min_len=flash_min_len)
     if mode == "cluster":
         return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)

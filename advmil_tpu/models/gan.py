@@ -68,12 +68,14 @@ class EmbedXLayer(nn.Module):
     dropout: float = 0.25
     backbone: str = "avgpool"  # 'avgpool' | 'gapool' (cfg disc_netx_backbone)
     dense_init: str = DenseInit.TORCH
+    use_lnpool: bool = True
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
         emb_ins = make_embedding_layer(self.backbone, self.in_dim, self.out_dim,
                                        ksize=self.ksize,
                                        dense_init=self.dense_init,
+                                       use_lnpool=self.use_lnpool,
                                        name="embedding")(
             x, mask, deterministic=deterministic)       # [B, L, C']
         rmask = region_mask_from_patch_mask(mask)
@@ -119,6 +121,7 @@ class Discriminator(nn.Module):
     netx_backbone: str = "avgpool"
     nety_norm: bool = False
     nety_dropout: float = 0.0
+    use_lnpool: bool = True
 
     @nn.compact
     def __call__(self, x, t, mask, *, deterministic: bool = True):
@@ -128,6 +131,7 @@ class Discriminator(nn.Module):
         hid_x, _, _ = EmbedXLayer(self.netx_in_dim, self.netx_out_dim,
                                   ksize=self.netx_ksize, dropout=self.netx_dropout,
                                   backbone=self.netx_backbone,
+                                  use_lnpool=self.use_lnpool,
                                   name="net_pair_one")(
             x, mask, deterministic=deterministic)
         hid = jnp.concatenate([hid_x, hid_t], axis=-1)
@@ -153,6 +157,7 @@ class PrjDiscriminator(nn.Module):
     netx_backbone: str = "avgpool"
     nety_norm: bool = False
     nety_dropout: float = 0.0
+    use_lnpool: bool = True
 
     @nn.compact
     def __call__(self, x, t, mask, *, deterministic: bool = True):
@@ -163,6 +168,7 @@ class PrjDiscriminator(nn.Module):
         hid_x, emb_ins, rmask = EmbedXLayer(
             self.netx_in_dim, self.netx_out_dim, ksize=self.netx_ksize,
             dropout=self.netx_dropout, backbone=self.netx_backbone,
+            use_lnpool=self.use_lnpool,
             name="net_pair_one")(
             x, mask, deterministic=deterministic)
         if self.inner_product == "bag":

@@ -209,6 +209,7 @@ class AvgPoolPatchEmbedding(nn.Module):
     ksize: int = 1
     dense_init: str = DenseInit.TORCH  # Conv2d keeps torch default in the reference
     use_fused: bool = False  # fused Pallas Dense+LN+ReLU+region-mean kernel
+    use_lnpool: bool = True  # fused Pallas LN+ReLU+region-mean (matmul in XLA)
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic: bool):
@@ -248,7 +249,24 @@ class AvgPoolPatchEmbedding(nn.Module):
                         kernel_init=torch_linear_kernel_init_conv(self.in_dim * self.ksize ** 2),
                         bias_init=torch_linear_bias_init_for(self.in_dim * self.ksize ** 2))(h)
             h = h.reshape(B, N, self.out_dim)
-        h = nn.LayerNorm(dtype=compute_dtype())(h)
+        ln = nn.LayerNorm(dtype=compute_dtype())
+        from ..ops.attention import pallas_available
+        if (self.use_lnpool and s2 == 16 and self.out_dim % 128 == 0
+                and pallas_available()):
+            # LN+ReLU+region-mean in one Pallas pass (ops/ln_pool.py): the
+            # profiled LayerNorm chains are HBM-bound under XLA, and the
+            # pooled output is 16x smaller than the normalized activation.
+            # The dummy call creates the LN params under the unfused path's
+            # name (checkpoint compatible); dead code after DCE.
+            from ..ops.ln_pool import ln_relu_region_mean
+            _ = ln(h[:, :1])
+            sc = ln.variables["params"]["scale"]
+            bi = ln.variables["params"]["bias"]
+            out = ln_relu_region_mean(h.reshape(B * N, self.out_dim), sc, bi)
+            out = out.reshape(B, L, self.out_dim)
+            rmask = jnp.any(mask.reshape(B, L, s2).astype(bool), axis=-1)
+            return out * rmask[..., None].astype(out.dtype)
+        h = ln(h)
         h = nn.relu(h)
         # masked average over the 16 patches of each region
         h = h.reshape(B, L, s2, self.out_dim)
@@ -301,7 +319,8 @@ class GAPoolPatchEmbedding(nn.Module):
 def make_embedding_layer(backbone: str, in_dim: int, out_dim: int,
                          ksize: int = 1, dense_init: str = DenseInit.TORCH,
                          name: str | None = None,
-                         use_fused: bool = False) -> nn.Module:
+                         use_fused: bool = False,
+                         use_lnpool: bool = True) -> nn.Module:
     """Embedding-layer factory (reference make_embedding_layer,
     model/backbone_utils.py:101-111)."""
     if backbone == "gapool":
@@ -310,7 +329,8 @@ def make_embedding_layer(backbone: str, in_dim: int, out_dim: int,
     if backbone == "avgpool":
         return AvgPoolPatchEmbedding(in_dim, out_dim, ksize=ksize,
                                      dense_init=dense_init, name=name,
-                                     use_fused=use_fused)
+                                     use_fused=use_fused,
+                                     use_lnpool=use_lnpool)
     raise NotImplementedError(f"{backbone} has not implemented.")
 
 

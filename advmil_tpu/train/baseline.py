@@ -65,6 +65,7 @@ class BaselineHandler(HandlerCommon):
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
+                                 use_lnpool=cfg.get("use_fused_lnpool", True),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
                                  flash_min_len=cfg.get("flash_min_len", 512))
         dim_in, dim_out = sparse_str(cfg["pdh_dims"])

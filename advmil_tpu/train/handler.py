@@ -60,6 +60,7 @@ class AdvHandler(HandlerCommon):
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
+                                 use_lnpool=cfg.get("use_fused_lnpool", True),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
                                  flash_min_len=cfg.get("flash_min_len", 512))
         dim_in, dim_out = sparse_str(cfg["gen_dims"])
@@ -78,7 +79,8 @@ class AdvHandler(HandlerCommon):
                        netx_ksize=dx.ksize, netx_dropout=dx.dropout,
                        netx_backbone=getattr(dx, "backbone", "avgpool"),
                        nety_in_dim=dy.in_dim, nety_hid_dims=tuple(dy.hid_dims),
-                       nety_norm=dy.norm, nety_dropout=dy.dropout)
+                       nety_norm=dy.norm, nety_dropout=dy.dropout,
+                       use_lnpool=cfg.get("use_fused_lnpool", True))
         if cfg["disc_type"] == "prj":
             self.disc_model = PrjDiscriminator(
                 prj_path=cfg["disc_prj_path"],

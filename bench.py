@@ -43,7 +43,7 @@ PEAK_FLOPS = float(os.environ.get("ADVMIL_PEAK_TFLOPS", "197")) * 1e12
 
 
 def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
-               use_fused_embed: bool = False):
+               use_fused_embed: bool = False, use_lnpool: bool = True):
     """Models + jitted adversarial step + one padded batch for `mode`."""
     import jax
     import jax.numpy as jnp
@@ -124,14 +124,16 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         extra_init = None
 
     backbone = load_backbone(mode, [FEAT_DIM, 384, 384], use_pallas=use_pallas,
-                             use_fused_embed=use_fused_embed)
+                             use_fused_embed=use_fused_embed,
+                             use_lnpool=use_lnpool)
     gen = Generator(backbone=backbone, dim_in=384, dim_out=1, noise=(0, 1),
                     hops=1, noise_dist="uniform", norm=False, dropout=0.6,
                     out_scale="sigmoid")
     disc = PrjDiscriminator(netx_in_dim=FEAT_DIM, netx_out_dim=128,
                             nety_in_dim=1, nety_hid_dims=(64, 128),
                             prj_path="x", inner_product="instance",
-                            netx_ksize=1, netx_dropout=0.25)
+                            netx_ksize=1, netx_dropout=0.25,
+                            use_lnpool=use_lnpool)
     key = jax.random.PRNGKey(0)
     f1, m1 = feats[:1], mask[:1]
     params_G = gen.init({"params": key, "noise": key, "dropout": key},
@@ -205,9 +207,9 @@ def marginal_per_step(chain, n_short: int, n_long: int, reps: int = 3) -> float:
 
 
 def bench_mode(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
-               use_fused_embed: bool = False) -> dict:
+               use_fused_embed: bool = False, use_lnpool: bool = True) -> dict:
     step, state, batch, _, _ = build_step(mode, batch_n, batch_b, use_pallas,
-                                          use_fused_embed)
+                                          use_fused_embed, use_lnpool)
     compiled, compile_s, flops = compile_and_flops(step, state, batch)
 
     def run(st, b):
@@ -326,6 +328,27 @@ def bench_fused_embed_ablation(batch_n: int, batch_b: int) -> dict:
     }
 
 
+def bench_lnpool_ablation(batch_n: int, batch_b: int) -> dict:
+    """ESAT headline shape with the fused Pallas LN+ReLU+region-mean kernel
+    (ops/ln_pool.py; matmul stays under XLA) ON vs OFF. Standing measurement
+    backing use_fused_lnpool's default-on (same contract as the fused-embed
+    ablation line)."""
+    fused = bench_mode("patch", batch_n, batch_b, use_lnpool=True)
+    plain = bench_mode("patch", batch_n, batch_b, use_lnpool=False)
+    return {
+        "metric": "gansurv_esat_lnpool_ablation",
+        "value": fused["value"],
+        "unit": "bags/sec/chip",
+        "vs_baseline": fused["vs_baseline"],
+        "anchor": "estimate",
+        "batch": batch_b,
+        "bag_n": batch_n,
+        "mfu": fused["mfu"],
+        "plain_value": plain["value"],
+        "fused_speedup_vs_plain": round(fused["value"] / plain["value"], 3),
+    }
+
+
 def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     """Serving path: test-time K-sample median prediction (reference
     model/model_handler.py:624-641 loops 30 full forwards per bag; here the
@@ -390,6 +413,8 @@ def main():
     results.append(bench_long_bag_flash())
     print(json.dumps(results[-1]), flush=True)
     results.append(bench_fused_embed_ablation(BAG_N, 32))
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_lnpool_ablation(BAG_N, 32))
     print(json.dumps(results[-1]), flush=True)
     headline = bench_mode("patch", BAG_N, 32)
     headline["metric"] = "gansurv_esat_train_throughput"

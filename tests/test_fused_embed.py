@@ -70,9 +70,13 @@ def test_fused_esat_backbone_matches_unfused():
         mask = np.ones((2, 64), np.float32)
         mask[0, 48:] = 0
         mask = jnp.asarray(mask)
-        m_ref = DualTransHS((64, 32, 32), nhead=4, use_pallas=False)
+        # use_lnpool off on both: this test isolates the fused-embed kernel
+        # (with pallas_available monkeypatched True, the lnpool default would
+        # otherwise fire outside the interpret context)
+        m_ref = DualTransHS((64, 32, 32), nhead=4, use_pallas=False,
+                            use_lnpool=False)
         m_fused = DualTransHS((64, 32, 32), nhead=4, use_pallas=False,
-                              use_fused_embed=True)
+                              use_fused_embed=True, use_lnpool=False)
         key = jax.random.PRNGKey(0)
         v = m_ref.init({"params": key, "dropout": key}, x, mask, None,
                        deterministic=True)
