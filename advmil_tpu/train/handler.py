@@ -271,8 +271,18 @@ class AdvHandler(HandlerCommon):
         assert cfg["semi_training"]
         path_split = cfg["data_split_path"].format(cfg["data_split_seed"])
         pids_train, pids_val, pids_test = read_datasplit_npz(path_split)
-        labeled, unlabeled = sampling_data(pids_train, cfg["ssl_num_labeled"],
-                                           rng=self.np_rng)
+        # Reference-parity sampling: the reference draws this split from the
+        # global LEGACY numpy stream seeded at handler init with nothing
+        # consuming it in between (seed_everything, reference
+        # utils/func.py:166-175; sampling at model/model_handler.py:690), so
+        # it equals RandomState(seed).permutation. Use exactly that stream —
+        # not the handler's default_rng — so both frameworks label the SAME
+        # patients (checked per-run by scripts/run_parity.py's adv_ssl arm).
+        labeled, unlabeled = sampling_data(
+            pids_train, cfg["ssl_num_labeled"],
+            rng=np.random.RandomState(cfg["seed"]))
+        import json as _json
+        print("PARITY_SSL_LABELED_JSON=" + _json.dumps(sorted(labeled)))
         self.patient_id["label_visible"] = set(labeled)
         self.patient_id["label_invisible"] = set(unlabeled)
 

@@ -53,8 +53,11 @@ def add_prefix_to_filename(path: str, prefix: str = "") -> str:
 # Sampling / k-fold (reference utils/func.py:47-57, 93-104)
 # ---------------------------------------------------------------------------
 
-def sampling_data(data: list, num, rng: np.random.Generator | None = None):
-    """Randomly split ``data`` into (sampled, left). ``num`` int or fraction."""
+def sampling_data(data: list, num, rng=None):
+    """Randomly split ``data`` into (sampled, left). ``num`` int or fraction.
+
+    ``rng`` may be a numpy Generator or a legacy RandomState (the latter
+    reproduces the reference's global-stream draw bit-for-bit)."""
     total = len(data)
     if isinstance(num, float):
         assert 0.0 < num < 1.0

@@ -135,6 +135,12 @@ def main():
     handler = Handler(cfg)
     if cfg.get("test"):
         metrics = handler.exec_test()
+    elif cfg.get("semi_training"):
+        metrics = handler.exec_semi_sl()
+        # expose the labeled/unlabeled split so the parity harness can check
+        # the sampled subsets match across frameworks
+        print("PARITY_SSL_LABELED_JSON="
+              + json.dumps(sorted(handler.patient_id.get("label_visible", []))))
     else:
         metrics = handler.exec()
     print("PARITY_METRICS_JSON=" + json.dumps(metrics))

@@ -105,6 +105,31 @@ def disc_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
     return cfg
 
 
+def ssl_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
+    """Semi-supervised adversarial training (reference exec_semi_sl,
+    model/model_handler.py:680-778): labeled/unlabeled split, UD+LD k-fold
+    mixed loaders (epoch e trains loader e mod k), per-sample label-visibility
+    masks (supervised loss over visible labels only; GAN loss over all).
+    Both sides sample the SAME labeled subset (the reference draws from the
+    legacy numpy stream seeded at init — our handler reproduces that stream;
+    the harness asserts the printed splits match per run)."""
+    cfg = adv_cfg(paths, fold, run_dir, epochs)
+    cfg.update({
+        "semi_training": True,
+        "semi_training_mode": "UD+LD",
+        "ssl_epochs": epochs,
+        "ssl_num_labeled": 0.6,
+        "ssl_kfold": 3,
+        "ssl_resume_ckpt": "best",
+        "ssl_es_patience": 10,
+        # forced to ssl_kfold for UD+LD by both _check_configs — set anyway
+        "ssl_es_warmup": 3,
+        "ssl_es_verbose": False,
+        "ssl_es_start_epoch": 0,
+    })
+    return cfg
+
+
 def base_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
     with open(REF_CFG) as f:
         cfg = yaml.load(f, Loader=yaml.FullLoader)
@@ -202,7 +227,8 @@ def run_reference(cfg: dict, handler: str, run_dir: str) -> dict:
         raise RuntimeError(f"reference run failed rc={r.returncode}\n"
                            f"stdout tail: {r.stdout[-1500:]}\n"
                            f"stderr tail: {r.stderr[-3000:]}")
-    return json.loads(m.group(1))
+    ms = re.search(r"PARITY_SSL_LABELED_JSON=(\[.*\])", r.stdout)
+    return json.loads(m.group(1)), (json.loads(ms.group(1)) if ms else None)
 
 
 def run_ours(cfg: dict, handler: str, run_dir: str) -> dict:
@@ -219,7 +245,9 @@ def run_ours(cfg: dict, handler: str, run_dir: str) -> dict:
         raise RuntimeError(f"our run failed rc={r.returncode}\n"
                            f"stdout tail: {r.stdout[-1500:]}\n"
                            f"stderr tail: {r.stderr[-3000:]}")
-    return ast.literal_eval(m.group(1))
+    ms = re.search(r"PARITY_SSL_LABELED_JSON=(\[.*\])", r.stdout)
+    return (ast.literal_eval(m.group(1)),
+            json.loads(ms.group(1)) if ms else None)
 
 
 def cindex_of(metrics: dict, split: str) -> float:
@@ -238,7 +266,8 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[42],
                     help="init/run seeds; folds x seeds runs per side")
     ap.add_argument("--tasks", nargs="+",
-                    default=["adv_esat", "adv_esat_disc", "base_nll_abmil",
+                    default=["adv_esat", "adv_esat_disc", "adv_ssl",
+                             "base_nll_abmil",
                              "base_nll_abmil_refregime", "base_cox_abmil",
                              "base_nll_cluster",
                              "base_nll_cluster_refregime"])
@@ -263,6 +292,7 @@ def main():
     task_builders = {
         "adv_esat": ("adv", adv_cfg, ours_extra),
         "adv_esat_disc": ("adv", disc_cfg, ours_extra),
+        "adv_ssl": ("adv", ssl_cfg, ours_extra),
         "base_nll_abmil": ("base", base_cfg, ours_extra),
         "base_nll_abmil_refregime": ("base", base_cfg, ours_refregime),
         "base_cox_abmil": ("base", cox_cfg, ours_extra),
@@ -291,9 +321,9 @@ def main():
                     row = prev_rows[(task, fold, seed)]
                     # seed the ref cache so sibling arms (e.g. _refregime)
                     # reuse the recorded reference metrics
-                    ref_cache.setdefault(cache_key, (
+                    ref_cache.setdefault(cache_key, ((
                         {"validation": {"cindex": row["ref_val"]},
-                         "test": {"cindex": row["ref_test"]}},
+                         "test": {"cindex": row["ref_test"]}}, None),
                         row.get("ref_seconds", 0.0)))
                     if task not in args.rerun_ours_for:
                         rows.append(row)
@@ -301,21 +331,22 @@ def main():
                 elif args.resume_only:
                     continue
                 if cache_key in ref_cache:
-                    ref, t_ref = ref_cache[cache_key]
+                    (ref, ref_labeled), t_ref = ref_cache[cache_key]
                 else:
                     cfg_ref = builder(paths, fold, osp.join(run_tag, "ref"),
                                       args.epochs)
                     cfg_ref["seed"] = seed
                     t0 = time.time()
-                    ref = run_reference(cfg_ref, handler,
-                                        osp.join(run_tag, "ref"))
+                    ref, ref_labeled = run_reference(cfg_ref, handler,
+                                                     osp.join(run_tag, "ref"))
                     t_ref = time.time() - t0
-                    ref_cache[cache_key] = (ref, t_ref)
+                    ref_cache[cache_key] = ((ref, ref_labeled), t_ref)
                 cfg_ours = decorate(builder(
                     paths, fold, osp.join(run_tag, "ours"), args.epochs))
                 cfg_ours["seed"] = seed
                 t0 = time.time()
-                ours = run_ours(cfg_ours, handler, osp.join(run_tag, "ours"))
+                ours, ours_labeled = run_ours(cfg_ours, handler,
+                                              osp.join(run_tag, "ours"))
                 t_ours = time.time() - t0
                 row = {
                     "fold": fold,
@@ -327,6 +358,9 @@ def main():
                     "ref_seconds": round(t_ref, 1),
                     "ours_seconds": round(t_ours, 1),
                 }
+                if ref_labeled is not None or ours_labeled is not None:
+                    # SSL arm: both frameworks must label the SAME patients
+                    row["ssl_split_match"] = bool(ref_labeled == ours_labeled)
                 rows.append(row)
                 print(f"[parity] {task} fold {fold} seed {seed}: "
                       f"val ref={row['ref_val']:.4f} ours={row['ours_val']:.4f} "
@@ -391,6 +425,11 @@ def main():
             "n_pos": npos, "n_neg": nneg,
             "median_ci95": [med_lo, med_hi],
         }
+        matches = [r["ssl_split_match"] for r in rows
+                   if "ssl_split_match" in r]
+        if matches:
+            results[task]["ssl_split_match_all"] = bool(all(matches))
+            results[task]["ssl_split_match_n"] = len(matches)
 
     with open(osp.join(REPO, "PARITY.json"), "w") as f:
         json.dump(results, f, indent=2)
@@ -470,6 +509,21 @@ def write_report(results: dict, args):
                    <= r.get("median_ci95", [0, 0])[1]) else ""),
             "",
         ]
+        if task == "adv_ssl":
+            n_m = r.get("ssl_split_match_n", 0)
+            ok_m = r.get("ssl_split_match_all", False)
+            lines += [
+                f"Semi-supervised end-to-end (reference exec_semi_sl, "
+                f"model/model_handler.py:680-778): UD+LD mode with k-fold "
+                f"mixed unlabeled loaders and per-sample label-visibility "
+                f"masks (supervised loss over visible labels only, GAN loss "
+                f"over all bags). Labeled/unlabeled split identity checked "
+                f"per run — both frameworks sampled the SAME labeled "
+                f"patients in {n_m}/{n_m} runs"
+                + (" ✅." if ok_m and n_m else " ❌ MISMATCH — the deltas "
+                   "below compare different labeled subsets."),
+                "",
+            ]
         if (task.startswith("base_") and not task.endswith("_refregime")
                 and f"{task}_refregime" in results):
             lines += [
