@@ -142,6 +142,33 @@ def test_lnpool_embedding_matches_unfused():
         att.pallas_available = orig
 
 
+def test_lnpool_embedding_bf16_close_to_unfused():
+    """Under precision=bf16 the kernel path tracks the unfused flax path
+    within bf16 rounding (stats are f32 in both)."""
+    import advmil_tpu.ops.attention as att
+    from advmil_tpu.models import layers as L
+    orig = att.pallas_available
+    att.pallas_available = lambda: True
+    L.set_compute_dtype("bf16")
+    try:
+        x = jnp.asarray(RNG.normal(size=(2, 64, 64)), jnp.float32)
+        mask = jnp.ones((2, 64), jnp.float32)
+        m_ref = L.AvgPoolPatchEmbedding(64, 128, use_lnpool=False)
+        m_fus = L.AvgPoolPatchEmbedding(64, 128, use_lnpool=True)
+        v = m_ref.init({"params": jax.random.PRNGKey(0)}, x, mask,
+                       deterministic=True)
+        want = np.asarray(m_ref.apply(v, x, mask, deterministic=True),
+                          np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(m_fus.apply(v, x, mask, deterministic=True),
+                             np.float32)
+        assert got.dtype == want.dtype
+        np.testing.assert_allclose(got, want, atol=0.05, rtol=0.02)
+    finally:
+        att.pallas_available = orig
+        L.set_compute_dtype("f32")
+
+
 def test_lnpool_falls_back_on_odd_dims():
     """out_dim not a lane multiple -> unfused path (still correct)."""
     import advmil_tpu.ops.attention as att
