@@ -177,6 +177,29 @@ def cox_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
     return cfg
 
 
+def reg_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
+    """surv_reg baseline with the ABMIL backbone: the recon_loss supervised
+    path (event |t̂−t| + censored hinge; reference
+    baseline_handler.py:95-101 else-branch, loss/utils.py:21-41)."""
+    cfg = base_cfg(paths, fold, run_dir, epochs)
+    cfg.update({
+        "task": "surv_reg",
+        "time_format": "ratio",      # both handlers re-infer this from task
+        "pdh_dims": "64-1",
+    })
+    return cfg
+
+
+def reg_esat_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
+    """surv_reg with the ESAT/patch backbone: exercises the MSE-for-ESAT
+    rule (bcb == 'patch' switches the supervised loss from recon_loss to
+    MSE_loss, reference baseline_handler.py:95-99) and the patch backbone
+    under the baseline handler."""
+    cfg = reg_cfg(paths, fold, run_dir, epochs)
+    cfg.update({"bcb_mode": "patch"})
+    return cfg
+
+
 def cluster_cfg(paths: dict, fold: int, run_dir: str, epochs: int) -> dict:
     """DeepAttnMISL cluster backbone (reference model/backbone.py:89-123,
     k=8 cluster segment pooling) under the surv_nll baseline task."""
@@ -269,6 +292,7 @@ def main():
                     default=["adv_esat", "adv_esat_disc", "adv_ssl",
                              "base_nll_abmil",
                              "base_nll_abmil_refregime", "base_cox_abmil",
+                             "base_reg_abmil", "base_reg_esat",
                              "base_nll_cluster",
                              "base_nll_cluster_refregime"])
     ap.add_argument("--resume", default=None,
@@ -296,6 +320,8 @@ def main():
         "base_nll_abmil": ("base", base_cfg, ours_extra),
         "base_nll_abmil_refregime": ("base", base_cfg, ours_refregime),
         "base_cox_abmil": ("base", cox_cfg, ours_extra),
+        "base_reg_abmil": ("base", reg_cfg, ours_extra),
+        "base_reg_esat": ("base", reg_esat_cfg, ours_extra),
         "base_nll_cluster": ("base", cluster_cfg, ours_extra),
         "base_nll_cluster_refregime": ("base", cluster_cfg, ours_refregime),
     }
@@ -535,6 +561,15 @@ def write_report(results: dict, args):
                 f"`{task}_refregime` arm below, which equalizes the regime; "
                 f"a positive median here (ours higher) measures the regime "
                 f"improvement, not a parity failure.",
+                "",
+            ]
+        if task == "base_reg_esat":
+            lines += [
+                "This arm exercises the MSE-for-ESAT rule: with the patch "
+                "backbone the reference swaps the surv_reg supervised loss "
+                "from recon_loss to MSE over events "
+                "(baseline_handler.py:95-99, following ESAT's "
+                "implementation); both frameworks apply the same switch.",
                 "",
             ]
         if task.startswith("base_cox"):

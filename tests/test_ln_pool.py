@@ -89,23 +89,28 @@ def test_ln_relu_vjp_matches_reference():
 
 
 def test_ln_relu_under_vmap():
-    """GENConv applies ln_relu per-bag under vmap; values + grads match."""
-    B, N, D = 3, 96, 128
+    """ln_relu per-bag under vmap: values and ALL grads match — including
+    dscale/dbias, whose scratch accumulation must survive the batched grid
+    (vmap adds a grid dimension around the kernel's sequential row blocks)."""
+    B, N, D = 3, 2100, 128  # N spans >1 row block so accumulation is real
     h = jnp.asarray(RNG.normal(size=(B, N, D)), jnp.float32)
     scale, bias = _params(D)
 
-    def loss_ref(h):
-        return jnp.sum(jax.vmap(lambda x: reference_ln_relu(x, scale, bias))(h) ** 2)
+    def loss(f, h, sc, bi):
+        return jnp.sum(jax.vmap(lambda x: f(x, sc, bi))(h) ** 2) / (B * N)
 
-    def loss_fused(h):
-        return jnp.sum(jax.vmap(lambda x: ln_relu(x, scale, bias))(h) ** 2)
-
+    want = jax.grad(lambda h, s, b: loss(reference_ln_relu, h, s, b),
+                    argnums=(0, 1, 2))(h, scale, bias)
     with pltpu.force_tpu_interpret_mode():
-        got = loss_fused(h)
-        gg = jax.grad(loss_fused)(h)
-    np.testing.assert_allclose(float(got), float(loss_ref(h)), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gg), np.asarray(jax.grad(loss_ref)(h)),
-                               atol=2e-4, rtol=1e-3)
+        got_val = loss(ln_relu, h, scale, bias)
+        got = jax.grad(lambda h, s, b: loss(ln_relu, h, s, b),
+                       argnums=(0, 1, 2))(h, scale, bias)
+    np.testing.assert_allclose(float(got_val),
+                               float(loss(reference_ln_relu, h, scale, bias)),
+                               rtol=1e-5)
+    for name, a, e in zip(["dh", "dscale", "dbias"], got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
 
 
 def test_lnpool_embedding_matches_unfused():
