@@ -143,6 +143,23 @@ def scatter_free_from_cfg(cfg: dict) -> str:
     return v
 
 
+def effective_flash_min_len(cfg: dict) -> int:
+    """Flash-attention length gate, adjusted for instance sharding.
+
+    The Pallas flash kernel is a single-device program with no GSPMD
+    partitioning rule: under instance (sequence) sharding XLA would
+    all-gather its operands and run the whole kernel replicated on every
+    'inst' device. The einsum path, by contrast, IS sequence-parallel under
+    GSPMD — the [B, H, L, L] scores stay query-row-sharded over 'inst'
+    (asserted on compiled HLO by tests/test_instance_parallel.py) — so with
+    inst_devices > 1 the gate is pushed out of reach and attention stays on
+    the einsum path."""
+    n = int(cfg.get("flash_min_len", 512))
+    if int(cfg.get("inst_devices", 1) or 1) > 1:
+        return 1 << 30
+    return n
+
+
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
     scatter_free_from_cfg(cfg)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..config import effective_flash_min_len
 from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
@@ -67,7 +68,7 @@ class BaselineHandler(HandlerCommon):
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
                                  use_lnpool=cfg.get("use_fused_lnpool", True),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
-                                 flash_min_len=cfg.get("flash_min_len", 512))
+                                 flash_min_len=effective_flash_min_len(cfg))
         dim_in, dim_out = sparse_str(cfg["pdh_dims"])
         self.model = SurvNet(backbone=backbone, dim_in=dim_in, dim_out=dim_out,
                              hops=cfg.get("mlp_hops", 1),

@@ -19,7 +19,7 @@ import numpy as np
 import optax
 
 from .. import losses
-from ..config import check_configs
+from ..config import check_configs, effective_flash_min_len
 from ..data.bags import prepare_dataset, BucketBatcher
 from ..eval import prepare_evaluator
 from ..models.backbones import load_backbone
@@ -62,7 +62,7 @@ class AdvHandler(HandlerCommon):
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
                                  use_lnpool=cfg.get("use_fused_lnpool", True),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),
-                                 flash_min_len=cfg.get("flash_min_len", 512))
+                                 flash_min_len=effective_flash_min_len(cfg))
         dim_in, dim_out = sparse_str(cfg["gen_dims"])
         args_noise = SimpleNamespace(**sparse_key(cfg, prefixes="gen_noi"))
         noise_flags = sparse_str(args_noise.noise)

@@ -98,3 +98,44 @@ def test_instance_sharding_graph_mode():
     got = fwd(params, batch["feats"], batch["mask"], batch["edge_src"],
               batch["edge_mask"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_attention_scores_stay_sharded_under_inst_mesh():
+    """Sequence-parallel attention property (SURVEY.md §5 long-context):
+    under an 'inst' mesh the einsum attention's [B, H, L, L] scores must stay
+    query-row-sharded — GSPMD gathers only K/V, never materializing the full
+    quadratic tensor per device. Asserted on the compiled HLO. This is why
+    effective_flash_min_len disables the (non-partitionable) flash kernel
+    when inst_devices > 1."""
+    import re
+    B, N, C, H = 2, 4096, 64, 8   # L = 256 regions
+    model = DualTransHS((C, 64, 64), nhead=H, use_pallas=False)
+    x = jnp.asarray(RNG.normal(size=(B, N, C)), jnp.float32)
+    mask = jnp.ones((B, N), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, mask, None,
+                           deterministic=True)
+    mesh = make_mesh_2d(1, 8)
+    batch = shard_batch_2d({"feats": np.asarray(x), "mask": np.asarray(mask)},
+                           mesh)
+    params = replicate_state(variables, mesh)
+
+    def loss(v, f, m):
+        return jnp.sum(model.apply(v, f, m, None, deterministic=True) ** 2)
+
+    hlo = (jax.jit(jax.grad(loss))
+           .lower(params, batch["feats"], batch["mask"]).compile().as_text())
+    L = N // 16
+    full = re.findall(rf"f32\[{B},{H},{L},{L}\]", hlo)
+    shard = re.findall(rf"f32\[{B},{H},{L // 8},{L}\]", hlo)
+    assert not full, f"full scores tensor replicated per device: {len(full)}"
+    assert shard, "expected query-row-sharded scores tensors in the HLO"
+
+
+def test_effective_flash_min_len_gates_under_inst():
+    from advmil_tpu.config import effective_flash_min_len
+    assert effective_flash_min_len({"flash_min_len": 512}) == 512
+    assert effective_flash_min_len(
+        {"flash_min_len": 512, "inst_devices": 1}) == 512
+    assert effective_flash_min_len(
+        {"flash_min_len": 512, "inst_devices": 4}) >= 1 << 30
