@@ -307,6 +307,10 @@ def main():
                     help="summarize resumed rows only — never launch runs; "
                          "(task, fold, seed) combos absent from --resume are "
                          "skipped, so arms may report different n")
+    ap.add_argument("--out", default="PARITY",
+                    help="basename for the output report ({out}.json / "
+                         "{out}.md at the repo root); use a scratch name for "
+                         "smoke runs so the real PARITY.json survives")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -398,6 +402,14 @@ def main():
                 ckpt[task] = {"rows": rows}
                 with open(osp.join(args.workdir, "parity_ckpt.json"), "w") as f:
                     json.dump(ckpt, f)
+        # carry over resumed rows outside the requested fold x seed grid
+        # (e.g. the _refregime arms were extended to seeds 52-53) so a
+        # re-summarize with the base seed list doesn't shrink their n
+        done = {(r["fold"], r["seed"]) for r in rows}
+        extra = [r for (t, f_, s_), r in prev_rows.items()
+                 if t == task and (f_, s_) not in done]
+        rows += extra
+        rows.sort(key=lambda r: (r["fold"], r["seed"]))
         if not rows:  # possible under --resume-only with a foreign json
             continue
         rv = np.array([r["ref_val"] for r in rows])
@@ -414,10 +426,20 @@ def main():
         dv_sorted = np.sort(dv)
         dv_trim = dv_sorted[ntrim:n - ntrim] if ntrim else dv_sorted
         # c-index quantum: the val metric moves in steps of
-        # 1/(comparable pairs) per fold, so the smallest nonzero gap among
-        # observed values bounds the resolution any delta can have
-        vals = np.unique(np.concatenate([rv, ov]))
-        quantum = float(np.diff(vals).min()) if len(vals) > 1 else 0.0
+        # 1/(comparable pairs) per fold. Folds have different comparable-pair
+        # counts, so the gap is computed WITHIN each fold (pooling values
+        # across folds would shrink it spuriously as seeds are added); the
+        # reported quantum is the per-fold minimum.
+        fold_quanta = {}
+        for f_ in sorted({r["fold"] for r in rows}):
+            fv = np.unique(np.array(
+                [r["ref_val"] for r in rows if r["fold"] == f_]
+                + [r["ours_val"] for r in rows if r["fold"] == f_]))
+            gaps = np.diff(fv)
+            gaps = gaps[gaps > 0]
+            if len(gaps):
+                fold_quanta[int(f_)] = float(gaps.min())
+        quantum = min(fold_quanta.values()) if fold_quanta else 0.0
         # two-sided sign test on the nonzero paired deltas
         npos, nneg = int((dv > 0).sum()), int((dv < 0).sum())
         nz = npos + nneg
@@ -447,6 +469,7 @@ def main():
             "n_runs": n,
             "primary_criterion_pass": bool(abs(np.median(dv)) <= 0.005),
             "val_cindex_quantum": quantum,
+            "val_cindex_quantum_per_fold": fold_quanta,
             "sign_test_p": sign_p,
             "n_pos": npos, "n_neg": nneg,
             "median_ci95": [med_lo, med_hi],
@@ -457,10 +480,10 @@ def main():
             results[task]["ssl_split_match_all"] = bool(all(matches))
             results[task]["ssl_split_match_n"] = len(matches)
 
-    with open(osp.join(REPO, "PARITY.json"), "w") as f:
+    with open(osp.join(REPO, f"{args.out}.json"), "w") as f:
         json.dump(results, f, indent=2)
     write_report(results, args)
-    print("[parity] wrote PARITY.md / PARITY.json")
+    print(f"[parity] wrote {args.out}.md / {args.out}.json")
 
 
 def write_report(results: dict, args):
@@ -523,10 +546,12 @@ def write_report(results: dict, args):
             f"{r['paired_val_delta_mean']:+.4f} ± {r['paired_val_delta_std']:.4f}"
             f" (median {r['paired_val_delta_median']:+.4f}, "
             f"t = {r['paired_val_t']:.2f}, n = {r['n_runs']})",
-            f"- metric resolution: smallest observed val c-index gap = "
+            f"- metric resolution: smallest within-fold val c-index gap = "
             f"{r.get('val_cindex_quantum', 0.0):.4f} (one discordant-pair "
-            f"flip); sign test on paired deltas: {r.get('n_pos', 0)}+ / "
-            f"{r.get('n_neg', 0)}− → p = {r.get('sign_test_p', 1.0):.2f}",
+            f"flip; computed per fold since comparable-pair counts differ "
+            f"across folds, then min over folds); sign test on paired "
+            f"deltas: {r.get('n_pos', 0)}+ / {r.get('n_neg', 0)}− → "
+            f"p = {r.get('sign_test_p', 1.0):.2f}",
             f"- secondary: bootstrap 95% CI of the paired median = "
             f"[{r.get('median_ci95', [0, 0])[0]:+.4f}, "
             f"{r.get('median_ci95', [0, 0])[1]:+.4f}]"
@@ -628,7 +653,7 @@ def write_report(results: dict, args):
     lines += ["Raw numbers: `PARITY.json`. Reproduce: "
               f"`python scripts/run_parity.py --folds {args.folds} "
               f"--epochs {args.epochs} --seeds {seeds}`.", ""]
-    with open(osp.join(REPO, "PARITY.md"), "w") as f:
+    with open(osp.join(REPO, f"{args.out}.md"), "w") as f:
         f.write("\n".join(lines))
 
 
