@@ -1,0 +1,401 @@
+"""Weight-transplant golden-trajectory comparison for the _refregime arms.
+
+Settles the refregime parity question (PARITY.md: both `_refregime` arms'
+paired median Δval landed just outside ±0.005 at n=60) with determinism
+instead of more seeds: transplant the UNMODIFIED torch reference's *initial*
+weights into our flax params, equalize every remaining source of randomness,
+and require the two trainers to produce the SAME optimization trajectory —
+per-step supervised losses and per-epoch val C-index — to f32 tolerance.
+
+Equalized controls:
+  * init — torch state_dict (after the reference's xavier re-init,
+    reference model/baseline_handler.py:84-87) mapped into flax params
+    (torch Linear [out,in] -> transpose);
+  * batch order — shuffle disabled on BOTH sides (reference DataLoader
+    patched to shuffle=False; our BucketBatcher forced to a single bucket +
+    shuffle=False so iteration = dataset order = the reference's), pid order
+    asserted identical;
+  * batching regime — reference batch_size=1 + bp_every_batch=16
+    (model/baseline_handler.py:296-324) vs ours batch_max_size=1 +
+    accum_steps=16 (optax MultiSteps mean == gradient of the reference's
+    16-bag mean loss);
+  * dropout — zeroed on both sides (torch and JAX PRNGs cannot be
+    equalized; dropout is the one irreducibly framework-specific RNG).
+    Everything else (loss, L1 reg, Adam + weight-decay exclusion, plateau
+    LR, early stopping, eval) runs exactly as in the parity arms.
+
+Same trajectory ==> modeling parity is proven and the ±0.005-median misses
+are formally run-to-run (dropout/shuffle RNG) noise; divergence ==> a real
+modeling bug, localized to the first differing step.
+
+Per-step losses are captured from both sides' logger streams (the reference
+logs train_batch/net/loss_supervision per optimizer step via wandb,
+model/baseline_handler.py:356-361 — stubbed with a recorder; ours logs the
+same key per microbatch, averaged over each 16-microbatch window).
+
+Usage:
+  python scripts/golden_trajectory.py [--arms base_nll_abmil base_nll_cluster]
+      [--folds 0 2] [--seeds 42 47] [--epochs 30] [--steps-compare 18]
+Writes GOLDEN.md / GOLDEN.json at the repo root.
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+os.environ.setdefault("ADVMIL_FORCE_CPU", "1")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, osp.join(REPO, "scripts"))
+
+import numpy as np  # noqa: E402
+
+from run_parity import build_dataset, base_cfg, cluster_cfg, ours_refregime  # noqa: E402
+
+ARM_BUILDERS = {"base_nll_abmil": base_cfg, "base_nll_cluster": cluster_cfg}
+
+
+def golden_cfg(builder, paths, fold, seed, run_dir, epochs):
+    cfg = builder(paths, fold, run_dir, epochs)
+    cfg["seed"] = seed
+    cfg["mlp_dropout"] = 0.0  # head dropout (backbone dropout patched below)
+    return cfg
+
+
+# --------------------------- reference side ---------------------------
+
+_REF_READY = False
+
+
+def _prep_reference():
+    """Stub wandb/cuda, zero backbone dropout, force train shuffle off."""
+    global _REF_READY
+    if _REF_READY:
+        return
+    import _run_reference as rr
+    rr.install_stubs()
+    sys.path.insert(0, "/root/reference")
+
+    import model.backbone as ref_backbone
+    orig_lbp = ref_backbone.load_backbone_param
+
+    def lbp_nodrop(mode, dims):
+        args, kws = orig_lbp(mode, dims)
+        if "dropout" in kws:
+            kws = dict(kws, dropout=0.0)
+        return args, kws
+
+    ref_backbone.load_backbone_param = lbp_nodrop
+
+    import model.baseline_handler as bh
+    orig_dl = bh.DataLoader
+
+    def dl_noshuffle(*a, **k):
+        k["shuffle"] = False
+        return orig_dl(*a, **k)
+
+    bh.DataLoader = dl_noshuffle
+    _REF_READY = True
+
+
+def run_reference_side(cfg):
+    _prep_reference()
+    import wandb
+    logs = []
+    wandb.log = lambda d, *a, **k: logs.append(
+        {k_: float(v_) for k_, v_ in d.items()})
+    import model.baseline_handler as bh
+    handler = bh.BaselineHandler(cfg)
+    sd = {k: v.detach().numpy().copy()
+          for k, v in handler.net.state_dict().items()}
+    metrics = handler.exec()
+    return sd, logs, metrics, list(handler.patient_id["train"])
+
+
+# ----------------------------- our side -----------------------------
+
+def transplant_abmil(sd, params):
+    """torch SurvNet(ABMIL) state_dict -> flax params (kernels transposed)."""
+    import flax
+    p = {"/".join(k): np.asarray(v) for k, v in
+         flax.traverse_util.flatten_dict(params).items()}
+    mapping = {
+        "backbone/attn_fc": "backbone.attention_net.0",
+        "backbone/gate/attention_a": "backbone.attention_net.3.attention_a.0",
+        "backbone/gate/attention_b": "backbone.attention_net.3.attention_b.0",
+        "backbone/gate/attention_c": "backbone.attention_net.3.attention_c",
+        "backbone/rho": "backbone.rho.0",
+        "out_layer/mlp_0/Dense_0": "out_layer.0.0",
+        "out_layer/mlp_1": "out_layer.1.0",
+    }
+    for ours, theirs in mapping.items():
+        p[f"{ours}/kernel"] = sd[f"{theirs}.weight"].T.copy()
+        p[f"{ours}/bias"] = sd[f"{theirs}.bias"].copy()
+    covered = {f"{t}.{s}" for t in mapping.values() for s in ("weight", "bias")}
+    leftover = set(sd) - covered
+    assert not leftover, f"unmapped torch params: {leftover}"
+    return flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in p.items()})
+
+
+def transplant_cluster(sd, params):
+    """torch SurvNet(DeepAttMISL) -> flax. phis is Conv2d 1x1 == FC:
+    torch weight [out,in,1,1] -> kernel [in,out]."""
+    import flax
+    p = {"/".join(k): np.asarray(v) for k, v in
+         flax.traverse_util.flatten_dict(params).items()}
+    linear = {
+        "backbone/attn_fc": "backbone.attention_net.0",
+        "backbone/gate/attention_a": "backbone.attention_net.3.attention_a.0",
+        "backbone/gate/attention_b": "backbone.attention_net.3.attention_b.0",
+        "backbone/gate/attention_c": "backbone.attention_net.3.attention_c",
+        "out_layer/mlp_0/Dense_0": "out_layer.0.0",
+        "out_layer/mlp_1": "out_layer.1.0",
+    }
+    for ours, theirs in linear.items():
+        p[f"{ours}/kernel"] = sd[f"{theirs}.weight"].T.copy()
+        p[f"{ours}/bias"] = sd[f"{theirs}.bias"].copy()
+    p["backbone/phis/kernel"] = sd["backbone.phis.0.weight"][:, :, 0, 0].T.copy()
+    p["backbone/phis/bias"] = sd["backbone.phis.0.bias"].copy()
+    covered = {f"{t}.{s}" for t in linear.values() for s in ("weight", "bias")}
+    covered |= {"backbone.phis.0.weight", "backbone.phis.0.bias"}
+    leftover = set(sd) - covered
+    assert not leftover, f"unmapped torch params: {leftover}"
+    return flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in p.items()})
+
+
+TRANSPLANTS = {"base_nll_abmil": transplant_abmil,
+               "base_nll_cluster": transplant_cluster}
+
+_OURS_READY = False
+
+
+def _prep_ours():
+    """Zero backbone dropout + disable batcher shuffle, mirroring the
+    reference-side patches (harness-only; the shipped framework is
+    untouched)."""
+    global _OURS_READY
+    if _OURS_READY:
+        return
+    import advmil_tpu.train.baseline as ours_bl
+    from advmil_tpu.models.backbones import ABMIL, DeepAttnMISL
+    from advmil_tpu.models.layers import DenseInit
+
+    def lb_nodrop(mode, dims, dense_init=DenseInit.XAVIER, **kw):
+        dims = list(dims)[:3]
+        if mode == "cluster":
+            return DeepAttnMISL(dims, num_clusters=8, dropout=0.0,
+                                dense_init=dense_init)
+        assert mode == "abmil", f"golden harness supports abmil/cluster, got {mode}"
+        return ABMIL(dims, dropout=0.0, dense_init=dense_init)
+
+    ours_bl.load_backbone = lb_nodrop
+
+    from advmil_tpu.data.bags import BucketBatcher
+    orig_prefetch = BucketBatcher.prefetch
+
+    def prefetch_noshuffle(self, shuffle=False, rng=None, depth=None):
+        return orig_prefetch(self, shuffle=False, rng=None, depth=depth)
+
+    BucketBatcher.prefetch = prefetch_noshuffle
+    _OURS_READY = True
+
+
+class _RecLogger:
+    def __init__(self):
+        self.logs = []
+
+    def log(self, d):
+        self.logs.append({k: float(v) for k, v in d.items()})
+
+    def finish(self):
+        pass
+
+
+def run_ours_side(cfg, ref_sd, arm):
+    _prep_ours()
+    import advmil_tpu.train.baseline as ours_bl
+    from advmil_tpu.train.steps import BaseTrainState
+
+    cfg = ours_refregime(cfg)
+    # single bucket (bucket_min > max bag size) => epoch order == dataset
+    # order == the reference's unshuffled DataLoader order
+    cfg["bucket_min"] = 1024
+    handler = ours_bl.BaselineHandler(cfg)
+    p = TRANSPLANTS[arm](ref_sd, handler.params)
+    handler.params = p
+    handler.state = BaseTrainState(params=p, opt=handler.tx.init(p),
+                                   rng=handler.state.rng)
+    rec = _RecLogger()
+    handler.logger = rec
+    metrics = handler.exec()
+    return rec.logs, metrics, list(handler.patient_id["train"])
+
+
+# ----------------------------- comparison -----------------------------
+
+def step_losses(logs, key="train_batch/net/loss_supervision", group=1):
+    vals = [d[key] for d in logs if key in d]
+    if group > 1:
+        assert len(vals) % group == 0, (len(vals), group)
+        vals = [float(np.mean(vals[i:i + group]))
+                for i in range(0, len(vals), group)]
+    return vals
+
+
+def epoch_series(logs, key="validation/c_index"):
+    return [d[key] for d in logs if key in d]
+
+
+def compare(arm, fold, seed, ref, ours, steps_compare):
+    ref_logs, ours_logs = ref["logs"], ours["logs"]
+    rs = step_losses(ref_logs)
+    os_ = step_losses(ours_logs, group=16)
+    n = min(len(rs), len(os_), steps_compare)
+    step_rows, worst_rel = [], 0.0
+    for i in range(n):
+        rel = abs(rs[i] - os_[i]) / max(abs(rs[i]), 1e-8)
+        worst_rel = max(worst_rel, rel)
+        step_rows.append((i + 1, rs[i], os_[i], rel))
+    rci, oci = epoch_series(ref_logs), epoch_series(ours_logs)
+    ne = min(len(rci), len(oci))
+    ci_rows = [(e + 1, rci[e], oci[e], abs(rci[e] - oci[e]))
+               for e in range(ne)]
+    first_ci_diff = next((e for e, r, o, d in ci_rows if d > 1e-9), None)
+    out = {
+        "arm": arm, "fold": fold, "seed": seed,
+        "n_steps_compared": n,
+        "step1_abs_diff": abs(rs[0] - os_[0]) if n else None,
+        "worst_step_rel_diff": worst_rel,
+        "steps": step_rows,
+        "val_ci": ci_rows,
+        "n_epochs_ref": len(rci), "n_epochs_ours": len(oci),
+        "first_val_ci_diff_epoch": first_ci_diff,
+        "final_ref_val": ref["final"]["validation"][0][1],
+        "final_ours_val": float(ours["final"]["validation"][0][1]),
+        "pass_step1": bool(n and abs(rs[0] - os_[0]) <= 1e-5),
+        "pass_steps": bool(worst_rel <= 1e-3),
+    }
+    return out
+
+
+def write_report(results, args):
+    lines = [
+        "# GOLDEN — weight-transplant golden-trajectory comparison",
+        "",
+        "Companion to PARITY.md's `_refregime` arms (whose paired median "
+        "Δval landed just outside the pre-registered ±0.005 at n=60): "
+        "instead of more seeds, this equalizes *everything* — torch initial "
+        "weights transplanted into flax, shuffle disabled on both sides "
+        "(identical bag order asserted), dropout zeroed (the one "
+        "framework-specific RNG), reference regime on both sides (1 bag / "
+        "microbatch, optimizer step per 16) — and compares the raw "
+        "optimization trajectories. Reference runs UNMODIFIED from "
+        "/root/reference (harness patches shuffle/dropout config only).",
+        "",
+        "**Claim**: per-step supervised-loss agreement at f32 tolerance "
+        "proves init + loss + L1 + Adam/weight-decay + accumulation + eval "
+        "are the same computation in both frameworks; the residual "
+        "parity-arm deltas are then attributable to dropout/shuffle RNG "
+        "noise, not a modeling difference.",
+        "",
+    ]
+    for r in results:
+        lines += [
+            f"## {r['arm']} fold {r['fold']} seed {r['seed']}", "",
+            f"- step-1 supervised loss: ref vs ours abs diff = "
+            f"{r['step1_abs_diff']:.2e} "
+            f"{'✅' if r['pass_step1'] else '❌'} (≤1e-5: transplant + "
+            f"forward + loss + bag order exact)",
+            f"- first {r['n_steps_compared']} optimizer steps: worst "
+            f"relative loss diff = {r['worst_step_rel_diff']:.2e} "
+            f"{'✅' if r['pass_steps'] else '❌'} (≤1e-3: Adam + L1 + "
+            f"accumulation trajectories agree at f32)",
+            f"- per-epoch val C-index: first differing epoch = "
+            f"{r['first_val_ci_diff_epoch'] if r['first_val_ci_diff_epoch'] is not None else 'none'}"
+            f" (of {min(r['n_epochs_ref'], r['n_epochs_ours'])} compared; "
+            f"ref ran {r['n_epochs_ref']}, ours {r['n_epochs_ours']})",
+            f"- final val C-index (best ckpt): ref {r['final_ref_val']:.4f} "
+            f"vs ours {r['final_ours_val']:.4f}",
+            "",
+            "| step | ref loss | ours loss (mean of 16 microbatches) | rel diff |",
+            "|---|---|---|---|",
+        ]
+        for i, rl, ol, rel in r["steps"]:
+            lines.append(f"| {i} | {rl:.8f} | {ol:.8f} | {rel:.2e} |")
+        lines += ["", "| epoch | ref val ci | ours val ci | abs diff |",
+                  "|---|---|---|---|"]
+        for e, rc, oc, d in r["val_ci"]:
+            lines.append(f"| {e} | {rc:.6f} | {oc:.6f} | {d:.2e} |")
+        lines.append("")
+    lines += [
+        "f32 divergence note: both trainers run eagerly/compiled in f32 "
+        "with different op orderings (torch CPU vs XLA CPU), so per-step "
+        "losses drift apart at the 1e-7..1e-4 level as steps accumulate; "
+        "the val C-index (a discrete pair-ordering statistic) stays "
+        "identical until that drift crosses a discordant-pair margin. The "
+        "pass bars above are set accordingly.",
+        "",
+        f"Reproduce: `python scripts/golden_trajectory.py --arms "
+        f"{' '.join(args.arms)} --folds {' '.join(map(str, args.folds))} "
+        f"--seeds {' '.join(map(str, args.seeds))} --epochs {args.epochs}`.",
+        "",
+    ]
+    with open(osp.join(REPO, f"{args.out}.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", nargs="+", default=["base_nll_abmil"],
+                    choices=list(ARM_BUILDERS))
+    ap.add_argument("--folds", type=int, nargs="+", default=[0])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--steps-compare", type=int, default=18)
+    ap.add_argument("--workdir", default="/tmp/golden")
+    ap.add_argument("--out", default="GOLDEN")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    # always the 5-fold dataset: identical to the parity arms' (run_parity
+    # builds it with n_folds=5), so this settles exactly those runs
+    paths = build_dataset(args.workdir, 5)
+    results = []
+    for arm in args.arms:
+        builder = ARM_BUILDERS[arm]
+        for fold in args.folds:
+            for seed in args.seeds:
+                tag = osp.join(args.workdir, arm, f"fold{fold}s{seed}")
+                cfg_ref = golden_cfg(builder, paths, fold, seed,
+                                     osp.join(tag, "ref"), args.epochs)
+                sd, ref_logs, ref_metrics, ref_pids = run_reference_side(cfg_ref)
+                cfg_ours = golden_cfg(builder, paths, fold, seed,
+                                      osp.join(tag, "ours"), args.epochs)
+                ours_logs, ours_metrics, ours_pids = run_ours_side(
+                    cfg_ours, sd, arm)
+                assert ref_pids == ours_pids, "train pid order differs!"
+                r = compare(arm, fold, seed,
+                            {"logs": ref_logs, "final": ref_metrics},
+                            {"logs": ours_logs, "final": ours_metrics},
+                            args.steps_compare)
+                results.append(r)
+                print(f"[golden] {arm} fold {fold} seed {seed}: "
+                      f"step1 diff {r['step1_abs_diff']:.2e}, worst rel "
+                      f"{r['worst_step_rel_diff']:.2e}, first ci diff epoch "
+                      f"{r['first_val_ci_diff_epoch']}", flush=True)
+
+    with open(osp.join(REPO, f"{args.out}.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    write_report(results, args)
+    print(f"[golden] wrote {args.out}.md / {args.out}.json")
+    hard_fail = [r for r in results if not (r["pass_step1"] and r["pass_steps"])]
+    sys.exit(1 if hard_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
