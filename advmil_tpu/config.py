@@ -144,20 +144,18 @@ def scatter_free_from_cfg(cfg: dict) -> str:
 
 
 def effective_flash_min_len(cfg: dict) -> int:
-    """Flash-attention length gate, adjusted for instance sharding.
+    """Flash-attention length gate.
 
-    The Pallas flash kernel is a single-device program with no GSPMD
-    partitioning rule: under instance (sequence) sharding XLA would
-    all-gather its operands and run the whole kernel replicated on every
-    'inst' device. The einsum path, by contrast, IS sequence-parallel under
-    GSPMD — the [B, H, L, L] scores stay query-row-sharded over 'inst'
-    (asserted on compiled HLO by tests/test_instance_parallel.py) — so with
-    inst_devices > 1 the gate is pushed out of reach and attention stays on
-    the einsum path."""
-    n = int(cfg.get("flash_min_len", 512))
-    if int(cfg.get("inst_devices", 1) or 1) > 1:
-        return 1 << 30
-    return n
+    Since round 4 the gate no longer depends on instance sharding: with
+    inst_devices > 1 the handlers register the 2-D mesh
+    (models/layers.set_inst_mesh) and long-bag attention routes through the
+    shard_map'd sequence-parallel wrapper
+    (ops/attention.masked_flash_attention_inst — local Q rows, all-gathered
+    K/V, dK/dV reduce-scattered by the all-gather transpose), so the kernel
+    composes with 'inst' instead of being forfeited. Round 3 had returned
+    1 << 30 here under inst sharding because the bare pallas_call has no
+    GSPMD partitioning rule and XLA would replicate it whole."""
+    return int(cfg.get("flash_min_len", 512))
 
 
 def check_configs(cfg: dict):

@@ -77,6 +77,23 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
+# Instance (sequence) parallelism registry: when the handler builds a 2-D
+# data x inst mesh it registers it here (same trace-time-global pattern as
+# the compute dtype above), and _masked_mha routes long-bag attention through
+# the shard_map'd flash wrapper (ops/attention.masked_flash_attention_inst)
+# instead of forfeiting the kernel. None = no instance sharding.
+_INST_MESH = None
+
+
+def set_inst_mesh(mesh):
+    global _INST_MESH
+    _INST_MESH = mesh
+
+
+def inst_mesh():
+    return _INST_MESH
+
+
 def make_dense(features: int, dense_init: str = DenseInit.XAVIER, use_bias: bool = True,
                name: str | None = None, in_features: int | None = None) -> nn.Dense:
     dt = compute_dtype()
@@ -421,22 +438,32 @@ def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
     B, L, H, Dh = q.shape
     scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
     if use_pallas:
-        from ..ops.attention import masked_flash_attention, pallas_available
+        from ..ops.attention import (masked_flash_attention, pallas_available,
+                                     flash_force_interpret)
         # measured crossovers (BENCHNOTES r3, scripts/bench_flash_crossover):
         # training (fwd+bwd+dropout) flash wins from ~L=512; the eval-only
         # forward stays einsum-faster until ~L=2048, so the deterministic
         # path gates 4x higher (O(L^2) logits memory still bounds both)
         min_len = flash_min_len if not deterministic \
             else max(flash_min_len, 2048)
-        if pallas_available() and L >= min_len:
+        if (pallas_available() or flash_force_interpret()) and L >= min_len:
+            seed = None
+            p = 0.0
             if dropout and not deterministic:
                 rng = module.make_rng("dropout")
                 seed = jax.random.randint(rng, (1,), 0,
                                           jnp.iinfo(jnp.int32).max,
                                           dtype=jnp.int32)
-                return masked_flash_attention(q, k, v, mask,
-                                              dropout_p=dropout, seed=seed)
-            return masked_flash_attention(q, k, v, mask)
+                p = dropout
+            mesh = inst_mesh()
+            if mesh is not None:
+                # sequence-parallel flash: local Q rows, all-gathered K/V,
+                # dK/dV reduce-scattered by the all-gather transpose
+                from ..ops.attention import masked_flash_attention_inst
+                return masked_flash_attention_inst(q, k, v, mask, mesh,
+                                                   dropout_p=p, seed=seed)
+            return masked_flash_attention(q, k, v, mask, dropout_p=p,
+                                          seed=seed)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
     logits = jnp.where(mask[:, None, None, :].astype(bool), logits, neg)

@@ -41,6 +41,18 @@ except Exception:  # pragma: no cover
 _NEG_BIG = -1e30
 
 
+def flash_force_interpret() -> bool:
+    """Test hook: ADVMIL_FLASH_INTERPRET=1 runs the FLASH kernels (only) in
+    Pallas interpret mode on any backend, so the attention dispatch/sharding
+    plumbing (incl. the shard_map'd instance-parallel wrapper) is exercisable
+    on the virtual CPU mesh. Deliberately scoped to this module — the other
+    Pallas ops (ln_pool, banded, segment) gate on pallas_available() and have
+    no interpret plumbing. dropout_p > 0 still requires real hardware (the
+    TPU core PRNG has no interpret lowering)."""
+    import os
+    return _HAS_PALLAS and os.environ.get("ADVMIL_FLASH_INTERPRET") == "1"
+
+
 def pallas_available() -> bool:
     return _HAS_PALLAS and jax.default_backend() == "tpu"
 
@@ -233,17 +245,19 @@ def _unfold(x2, B, L, H, Dh, Lp, Dp):
 
 def _fwd_call(cfg, q, k, v, mask, seed):
     dropout_p, blk_q, blk_k, interpret = cfg
-    B, L, H, Dh = q.shape
-    scale = 1.0 / (Dh ** 0.5)
+    B, Lq, H, Dh = q.shape
+    Lk = k.shape[1]              # Lk may differ from Lq (sequence-parallel
+    scale = 1.0 / (Dh ** 0.5)    # wrapper: local Q rows vs all-gathered K/V)
     Dp = _round_up(Dh, 128)
-    Lp = _round_up(L, max(blk_q, blk_k))
-    qf2 = _fold(q * scale, B, L, H, Dh, Lp, Dp)
-    kf2 = _fold(k, B, L, H, Dh, Lp, Dp)
-    vf2 = _fold(v, B, L, H, Dh, Lp, Dp)
-    mk = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Lp - L)))
-    mk = jnp.repeat(mk, H, axis=0)    # [B*H, Lp]
-    nq = Lp // blk_q
-    nk = Lp // blk_k
+    Lqp = _round_up(Lq, blk_q)
+    Lkp = _round_up(Lk, blk_k)
+    qf2 = _fold(q * scale, B, Lq, H, Dh, Lqp, Dp)
+    kf2 = _fold(k, B, Lk, H, Dh, Lkp, Dp)
+    vf2 = _fold(v, B, Lk, H, Dh, Lkp, Dp)
+    mk = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Lkp - Lk)))
+    mk = jnp.repeat(mk, H, axis=0)    # [B*H, Lkp]
+    nq = Lqp // blk_q
+    nk = Lkp // blk_k
     BH = B * H
 
     out2, lse = pl.pallas_call(
@@ -251,23 +265,23 @@ def _fwd_call(cfg, q, k, v, mask, seed):
                           dropout_p=dropout_p),
         grid=(BH, nq, nk),
         in_specs=[
-            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * (Lp // blk_k) + j, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * nk + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * (Lp // blk_k) + j, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * nk + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [BH, Lp] key mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [BH, Lkp] key mask
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
         ],
         out_specs=[
-            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [BH, Lp] logsumexp
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full [BH, Lqp] logsumexp
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH * Lp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((BH, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((BH * Lqp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((BH, Lqp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk_q, 1), jnp.float32),
@@ -276,54 +290,56 @@ def _fwd_call(cfg, q, k, v, mask, seed):
         ],
         interpret=interpret,
     )(qf2, kf2, vf2, mk, seed)
-    out = _unfold(out2, B, L, H, Dh, Lp, Dp)
+    out = _unfold(out2, B, Lq, H, Dh, Lqp, Dp)
     return out, lse
 
 
 def _bwd_call(cfg, res, do):
     dropout_p, blk_q, blk_k, interpret = cfg
     q, k, v, mask, seed, out, lse = res
-    B, L, H, Dh = q.shape
+    B, Lq, H, Dh = q.shape
+    Lk = k.shape[1]
     scale = 1.0 / (Dh ** 0.5)
     Dp = _round_up(Dh, 128)
-    Lp = _round_up(L, max(blk_q, blk_k))
-    nq = Lp // blk_q
-    nk = Lp // blk_k
+    Lqp = _round_up(Lq, blk_q)
+    Lkp = _round_up(Lk, blk_k)
+    nq = Lqp // blk_q
+    nk = Lkp // blk_k
     BH = B * H
 
-    qs2 = _fold(q * scale, B, L, H, Dh, Lp, Dp)
-    kf2 = _fold(k, B, L, H, Dh, Lp, Dp)
-    vf2 = _fold(v, B, L, H, Dh, Lp, Dp)
-    do2 = _fold(do, B, L, H, Dh, Lp, Dp)
-    mk = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Lp - L)))
+    qs2 = _fold(q * scale, B, Lq, H, Dh, Lqp, Dp)
+    kf2 = _fold(k, B, Lk, H, Dh, Lkp, Dp)
+    vf2 = _fold(v, B, Lk, H, Dh, Lkp, Dp)
+    do2 = _fold(do, B, Lq, H, Dh, Lqp, Dp)
+    mk = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Lkp - Lk)))
     mk = jnp.repeat(mk, H, axis=0)
     # D_i = rowsum(dO * O): identical with and without dropout (the dropped
     # probs cancel in the softmax-backward inner product)
     dvec = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    dvec = jnp.transpose(dvec, (0, 2, 1)).reshape(BH, L)
-    dvec = jnp.pad(dvec, ((0, 0), (0, Lp - L)))
+    dvec = jnp.transpose(dvec, (0, 2, 1)).reshape(BH, Lq)
+    dvec = jnp.pad(dvec, ((0, 0), (0, Lqp - Lq)))
 
     dq2 = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, nk=nk, blk_q=blk_q,
                           blk_k=blk_k, dropout_p=dropout_p),
         grid=(BH, nq, nk),
         in_specs=[
-            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * (Lp // blk_k) + j, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * nk + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * (Lp // blk_k) + j, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, i, j: (b * nk + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * nq + i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mask [BH, Lp]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # lse  [BH, Lp]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # dvec [BH, Lp]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mask [BH, Lkp]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lse  [BH, Lqp]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dvec [BH, Lqp]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed [1]
         ],
-        out_specs=pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * (Lp // blk_q) + i, 0),
+        out_specs=pl.BlockSpec((blk_q, Dp), lambda b, i, j: (b * nq + i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH * Lp, Dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BH * Lqp, Dp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((blk_q, Dp), jnp.float32)],
         interpret=interpret,
     )(qs2, kf2, vf2, do2, mk, lse, dvec, seed)
@@ -333,13 +349,13 @@ def _bwd_call(cfg, res, do):
                           blk_k=blk_k, dropout_p=dropout_p),
         grid=(BH, nk, nq),
         in_specs=[
-            pl.BlockSpec((blk_q, Dp), lambda b, jk, iq: (b * (Lp // blk_q) + iq, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, jk, iq: (b * nq + iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_q, Dp), lambda b, jk, iq: (b * (Lp // blk_q) + iq, 0),
+            pl.BlockSpec((blk_q, Dp), lambda b, jk, iq: (b * nq + iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * (Lp // blk_k) + jk, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * nk + jk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * (Lp // blk_k) + jk, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * nk + jk, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lse
@@ -347,14 +363,14 @@ def _bwd_call(cfg, res, do):
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
         ],
         out_specs=[
-            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * (Lp // blk_k) + jk, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * nk + jk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * (Lp // blk_k) + jk, 0),
+            pl.BlockSpec((blk_k, Dp), lambda b, jk, iq: (b * nk + jk, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH * Lp, Dp), jnp.float32),
-            jax.ShapeDtypeStruct((BH * Lp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH * Lkp, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((BH * Lkp, Dp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk_k, Dp), jnp.float32),
@@ -363,9 +379,9 @@ def _bwd_call(cfg, res, do):
         interpret=interpret,
     )(qs2, do2, kf2, vf2, mk, lse, dvec, seed)
 
-    dq = _unfold(dq2, B, L, H, Dh, Lp, Dp) * scale
-    dk = _unfold(dk2, B, L, H, Dh, Lp, Dp)
-    dv = _unfold(dv2, B, L, H, Dh, Lp, Dp)
+    dq = _unfold(dq2, B, Lq, H, Dh, Lqp, Dp) * scale
+    dk = _unfold(dk2, B, Lk, H, Dh, Lkp, Dp)
+    dv = _unfold(dv2, B, Lk, H, Dh, Lkp, Dp)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -404,10 +420,12 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 0, blk_k: int = 0,
                            seed=None):
     """Softmax(QK^T / sqrt(Dh)) V with a key-padding mask, O(L) memory.
 
-    q, k, v: [B, L, H, Dh]; mask: [B, L] (1 = real key). Fully-masked queries
-    (padding rows / dummy bags) return zeros. Differentiable (custom VJP,
-    recompute-based flash backward). Output matches the einsum reference path
-    to f32 accuracy. blk_q/blk_k 0 = auto (see _auto_block).
+    q: [B, Lq, H, Dh]; k, v: [B, Lk, H, Dh]; mask: [B, Lk] (1 = real key).
+    Lq may differ from Lk (the sequence-parallel wrapper feeds local query
+    rows against all-gathered keys). Fully-masked queries (padding rows /
+    dummy bags) return zeros. Differentiable (custom VJP, recompute-based
+    flash backward). Output matches the einsum reference path to f32
+    accuracy. blk_q/blk_k 0 = auto (see _auto_block).
 
     dropout_p > 0 applies attention-probability dropout inside the kernels
     (requires a real TPU; the core-PRNG primitives have no interpret-mode
@@ -416,15 +434,16 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 0, blk_k: int = 0,
     """
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
-    L = q.shape[1]
-    blk_q = blk_q or _auto_block(L)
-    blk_k = blk_k or _auto_block(L)
+    interpret = interpret or flash_force_interpret()
+    Lq, Lk = q.shape[1], k.shape[1]
+    blk_q = blk_q or _auto_block(Lq)
+    blk_k = blk_k or _auto_block(Lk)
     if dropout_p > 0.0:
         # the per-tile PRNG seed packs (batch*head, q-block, k-block) into one
         # int32 (_dropout_keep); enforce the packing bounds loudly instead of
         # silently aliasing dropout masks across tiles
         BH = q.shape[0] * q.shape[2]
-        nq, nk = -(-L // blk_q), -(-L // blk_k)
+        nq, nk = -(-Lq // blk_q), -(-Lk // blk_k)
         if BH >= 2048 or nq >= 1024 or nk >= 1024:
             raise ValueError(
                 f"dropout tile-id packing bounds exceeded: batch*heads={BH} "
@@ -432,6 +451,55 @@ def masked_flash_attention(q, k, v, mask, blk_q: int = 0, blk_k: int = 0,
                 f"batch or raise blk_q/blk_k")
     cfg = (float(dropout_p), int(blk_q), int(blk_k), bool(interpret))
     return _flash(cfg, q, k, v, mask.astype(jnp.float32), seed)
+
+
+def masked_flash_attention_inst(q, k, v, mask, mesh, *, dropout_p: float = 0.0,
+                                seed=None, data_axis: str = "data",
+                                inst_axis: str = "inst",
+                                interpret: bool = False):
+    """Sequence-parallel flash attention over a 2-D (data x inst) mesh.
+
+    Composes the Pallas kernel with instance (sequence) sharding instead of
+    forfeiting it (round-3 gate: `effective_flash_min_len` pushed flash out
+    of reach whenever inst_devices > 1, because the kernel has no GSPMD
+    partitioning rule and XLA would replicate it whole). shard_map makes the
+    partitioning explicit: each inst rank keeps its LOCAL query rows, the
+    K/V/mask operands are all-gathered over the inst axis (riding ICI), and
+    the kernel runs on [B/dp, L/ip, H, Dh] queries against full keys — the
+    same decomposition as ring attention's fully-unrolled variant, chosen
+    because L here is the region count (a few thousand), so full K/V easily
+    fits VMEM-adjacent HBM. The backward needs no custom code: shard_map
+    differentiates through, and the all-gather's transpose is exactly the
+    psum_scatter that reduces the per-rank partial dK/dV.
+
+    q,k,v: [B, L, H, Dh] GLOBAL shapes, batch sharded over `data_axis`,
+    L sharded over `inst_axis`; mask: [B, L]. Output sharded like q.
+
+    In-kernel dropout stays available: each inst rank perturbs the seed with
+    its axis index so keep-mask tiles decorrelate across ranks (forward and
+    backward regenerate identically — the perturbed seed is part of the
+    residuals).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    spec_qkv = P(data_axis, inst_axis, None, None)
+    spec_mask = P(data_axis, inst_axis)
+
+    def local(ql, kl, vl, ml, sl):
+        kf = jax.lax.all_gather(kl, inst_axis, axis=1, tiled=True)
+        vf = jax.lax.all_gather(vl, inst_axis, axis=1, tiled=True)
+        mf = jax.lax.all_gather(ml, inst_axis, axis=1, tiled=True)
+        sl = sl + jax.lax.axis_index(inst_axis).astype(jnp.int32) * 7919
+        return masked_flash_attention(ql, kf, vf, mf, dropout_p=dropout_p,
+                                      seed=sl, interpret=interpret)
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_mask,
+                                   P()),
+                         out_specs=spec_qkv, check_vma=False)(
+        q, k, v, mask.astype(jnp.float32), seed)
 
 
 def _keep_mask_kernel(seed_ref, o_ref, *, blk_q, blk_k, dropout_p):

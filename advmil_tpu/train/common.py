@@ -71,9 +71,14 @@ class HandlerCommon:
                   f"{jax.local_device_count()} devices")
         elif ip > 1:
             from ..parallel.mesh import make_mesh_2d, replicate_state
+            from ..models.layers import set_inst_mesh
             self.mesh = make_mesh_2d(dp, ip)
             self.mesh_2d = True
             self.state = replicate_state(self.state, self.mesh)
+            # registered so long-bag attention traces the sequence-parallel
+            # flash wrapper instead of forfeiting the kernel (ops/attention
+            # .masked_flash_attention_inst; gate: effective_flash_min_len)
+            set_inst_mesh(self.mesh)
             print(f"[parallel] data x instance parallel over {dp}x{ip} devices")
         elif dp > 1:
             from ..parallel.mesh import make_mesh, replicate_state
