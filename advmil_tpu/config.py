@@ -29,6 +29,14 @@ TPU_DEFAULTS = {
     "dist_num_processes": None,    # total process count
     "dist_process_id": None,       # this process's rank
     "precision": "f32",            # f32 | bf16
+    # PRNG bit generator for jax.random keys (dropout masks, noise draws):
+    # "rbg" keeps threefry-quality key derivation (split/fold_in) but emits
+    # random bits with the TPU hardware generator — measured 1.26-1.28x
+    # whole-step on graph AND ESAT modes, where threefry mask generation at
+    # [B,N,384] patch resolution was 25%+ of the step (BENCHNOTES round 4).
+    # "threefry" restores JAX's default for bitwise cross-version/backend
+    # reproducibility (the regime all PARITY.md numbers were recorded in).
+    "rng_impl": "rbg",             # rbg | threefry | unsafe_rbg
     "use_pallas": True,            # pallas flash attention in ESAT
     "flash_min_len": 512,          # regions where flash beats einsum (train).
                                    # The deterministic eval forward floors the
@@ -98,6 +106,20 @@ def enable_compilation_cache(cfg: dict):
         print(f"[config] compilation cache disabled ({exc})")
 
 
+def apply_rng_impl(cfg: dict):
+    """Select the PRNG bit generator for every jax.random key created after
+    this call (handlers call it before building any key). ``rbg`` routes bit
+    generation through the TPU hardware RNG while key split/fold_in stay on
+    threefry — same key-tree semantics, ~1.27x whole-step train throughput
+    (threefry mask generation at patch resolution was 25%+ of the graph and
+    ESAT steps; BENCHNOTES round 4). ``threefry`` is the bitwise-reproducible
+    regime used for all recorded parity artifacts."""
+    impl = str(cfg.get("rng_impl", "rbg"))
+    assert impl in ("rbg", "threefry", "unsafe_rbg"), f"rng_impl: {impl}"
+    import jax
+    jax.config.update("jax_default_prng_impl", impl)
+
+
 def get_config(config_path: str) -> dict:
     with open(config_path, "r") as f:
         cfg = yaml.load(f, Loader=yaml.FullLoader)
@@ -161,6 +183,8 @@ def effective_flash_min_len(cfg: dict) -> int:
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
     scatter_free_from_cfg(cfg)
+    assert str(cfg.get("rng_impl", "rbg")) in ("rbg", "threefry", "unsafe_rbg"), \
+        f"rng_impl must be rbg/threefry/unsafe_rbg, got {cfg.get('rng_impl')}"
     assert cfg.get("monitor_metrics", "loss") in ("loss", "ci", "ci_max"), \
         "monitor_metrics must be loss / ci (reference-inverted) / ci_max"
     assert cfg["loss_netD"] in ["bce", "hinge", "wasserstein"], \

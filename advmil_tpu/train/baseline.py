@@ -41,8 +41,9 @@ class BaselineHandler(HandlerCommon):
         assert cfg["bcb_mode"] in ["patch", "cluster", "graph", "abmil"]
         seed_everything(cfg["seed"])
         self.cfg = cfg
-        from ..config import enable_compilation_cache
+        from ..config import apply_rng_impl, enable_compilation_cache
         enable_compilation_cache(cfg)
+        apply_rng_impl(cfg)  # before any jax.random key is created
         self.task = cfg["task"]
         self.bcb = cfg["bcb_mode"]
         self.nbins = cfg.get("time_bins", 4)

@@ -44,8 +44,9 @@ class AdvHandler(HandlerCommon):
     def __init__(self, cfg: dict):
         check_configs(cfg)
         seed_everything(cfg["seed"])
-        from ..config import enable_compilation_cache
+        from ..config import apply_rng_impl, enable_compilation_cache
         enable_compilation_cache(cfg)
+        apply_rng_impl(cfg)  # before any jax.random key is created
         self.cfg = cfg
         self.task = cfg["task"]
         self.bcb = cfg["bcb_mode"]

@@ -394,8 +394,9 @@ def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
 
 
 def main():
-    from advmil_tpu.config import enable_compilation_cache
+    from advmil_tpu.config import apply_rng_impl, enable_compilation_cache
     enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
+    apply_rng_impl({})  # shipped default: hardware rbg bit generation
     from advmil_tpu.models.layers import set_compute_dtype
     set_compute_dtype("bf16")
 

@@ -19,12 +19,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_arm(arm: str) -> float:
+def run_arm(arm: str, mode: str, b: int) -> float:
     env = dict(os.environ)
     if arm == "rbg":
         env["JAX_DEFAULT_PRNG_IMPL"] = "unsafe_rbg"
     out = subprocess.run(
-        [sys.executable, "-u", __file__, "--arm", arm],
+        [sys.executable, "-u", __file__, "--arm", arm,
+         "--mode", mode, "--b", str(b)],
         env=env, capture_output=True, text=True, timeout=900)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not line:
@@ -33,13 +34,15 @@ def run_arm(arm: str) -> float:
     return json.loads(line[-1])
 
 
-def measure() -> dict:
+def measure(mode: str, b: int) -> dict:
     import bench
+    from advmil_tpu.config import enable_compilation_cache
     from advmil_tpu.models.layers import set_compute_dtype
 
+    enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
     set_compute_dtype("bf16")
-    B, N = 32, bench.BAG_N
-    step, state, batch, _, _ = bench.build_step("patch", N, B)
+    B, N = b, bench.BAG_N
+    step, state, batch, _, _ = bench.build_step(mode, N, B)
     compiled, csecs, flops = bench.compile_and_flops(step, state, batch)
 
     def chain(n):
@@ -56,13 +59,15 @@ def measure() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arm", choices=["threefry", "rbg"])
+    ap.add_argument("--mode", default="patch")
+    ap.add_argument("--b", type=int, default=32)
     args = ap.parse_args()
     if args.arm:
         import jax
         print(f"impl: {jax.config.jax_default_prng_impl}", file=sys.stderr)
-        print(json.dumps(measure()))
+        print(json.dumps(measure(args.mode, args.b)))
         return
-    res = {arm: run_arm(arm) for arm in ("threefry", "rbg")}
+    res = {arm: run_arm(arm, args.mode, args.b) for arm in ("threefry", "rbg")}
     speedup = res["rbg"]["bags_per_sec"] / res["threefry"]["bags_per_sec"]
     print(json.dumps({"threefry": res["threefry"], "rbg": res["rbg"],
                       "rbg_speedup": round(speedup, 3)}, indent=2))

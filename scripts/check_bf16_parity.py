@@ -1,4 +1,4 @@
-"""bf16-vs-f32 validation-accuracy spot check (VERDICT r2 #9).
+"""bf16-vs-f32 validation-accuracy spot check (VERDICT r2 #9, r3 #7).
 
 The shipped adversarial configs default to `precision: bf16` (matching every
 published bench number) while the end-to-end accuracy-parity runs
@@ -6,7 +6,13 @@ published bench number) while the end-to-end accuracy-parity runs
 handler twice on the same synthetic dataset + seed — once bf16, once f32 —
 on the real TPU, and report the best-val/test C-indices side by side.
 
-Usage: python scripts/check_bf16_parity.py [--epochs 10] [--seed 42]
+Round 4 broadened the sweep beyond ESAT/cont (VERDICT r3 #7): --bcb selects
+the backbone (patch/cluster/graph/abmil), --task selects cont_gansurv or
+disc_gansurv (quantile labels + event-as-censorship mask), and --seeds takes
+a list; the summary reports per-seed deltas and the across-seed median.
+
+Usage: python scripts/check_bf16_parity.py [--epochs 10] [--seeds 42 43 ...]
+                                           [--bcb patch] [--task cont]
 Writes a small markdown table to stdout; run serially (one TPU proc).
 """
 import argparse
@@ -20,13 +26,14 @@ if os.environ.get("ADVMIL_FORCE_CPU") == "1":  # same escape hatch as main.py
     jax.config.update("jax_platforms", "cpu")
 
 
-def run(precision: str, paths, seed: int, epochs: int, outdir: str):
+def run(precision: str, paths, seed: int, epochs: int, outdir: str,
+        bcb: str = "patch", task: str = "cont"):
     from advmil_tpu.config import with_defaults
     from advmil_tpu.train.handler import AdvHandler
 
     cfg = with_defaults({
         "task": "cont_gansurv", "seed": seed,
-        "save_path": os.path.join(outdir, precision),
+        "save_path": os.path.join(outdir, f"{bcb}-{task}-{seed}-{precision}"),
         "dataset": "synthetic",
         "path_patch": paths["path_patch"], "path_graph": paths["path_graph"],
         "path_cluster": paths["path_cluster"], "path_coordx5": None,
@@ -55,7 +62,11 @@ def run(precision: str, paths, seed: int, epochs: int, outdir: str):
         "times_test_sample": 30, "semi_training": False,
         "semi_training_mode": "none",
         "precision": precision,
+        "bcb_mode": bcb,
     })
+    if task == "disc":
+        cfg.update({"task": "disc_gansurv", "time_format": "quantile",
+                    "gen_dims": "384-4", "disc_nety_in_dim": 4})
     metrics = AdvHandler(cfg).exec()
     out = {split: dict(kv) for split, kv in metrics.items()}
     return out
@@ -64,7 +75,10 @@ def run(precision: str, paths, seed: int, epochs: int, outdir: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42])
+    ap.add_argument("--bcb", default="patch",
+                    choices=["patch", "cluster", "graph", "abmil"])
+    ap.add_argument("--task", default="cont", choices=["cont", "disc"])
     ap.add_argument("--workdir", default="/tmp/bf16check")
     args = ap.parse_args()
 
@@ -73,20 +87,26 @@ def main():
         os.path.join(args.workdir, "data"), n_patients=120, dim=1024,
         min_regions=4, max_regions=64, seed=7)
 
-    rows = {}
-    for precision in ("bf16", "f32"):
-        rows[precision] = run(precision, paths, args.seed, args.epochs,
-                              args.workdir)
-        print(f"[{precision}] {rows[precision]}", flush=True)
-
-    print("\n| precision | val c-index | test c-index |")
-    print("|---|---|---|")
-    for precision in ("bf16", "f32"):
-        r = rows[precision]
-        print(f"| {precision} | {r['validation']['cindex']:.4f} "
-              f"| {r['test']['cindex']:.4f} |")
-    dv = rows["bf16"]["validation"]["cindex"] - rows["f32"]["validation"]["cindex"]
-    print(f"\nΔval (bf16 − f32) = {dv:+.4f}")
+    deltas = []
+    print(f"\narm: bcb={args.bcb} task={args.task} epochs={args.epochs}")
+    print("\n| seed | bf16 val | f32 val | Δval | bf16 test | f32 test |")
+    print("|---|---|---|---|---|---|")
+    for seed in args.seeds:
+        rows = {}
+        for precision in ("bf16", "f32"):
+            rows[precision] = run(precision, paths, seed, args.epochs,
+                                  args.workdir, args.bcb, args.task)
+        dv = (rows["bf16"]["validation"]["cindex"]
+              - rows["f32"]["validation"]["cindex"])
+        deltas.append(dv)
+        print(f"| {seed} | {rows['bf16']['validation']['cindex']:.4f} "
+              f"| {rows['f32']['validation']['cindex']:.4f} | {dv:+.4f} "
+              f"| {rows['bf16']['test']['cindex']:.4f} "
+              f"| {rows['f32']['test']['cindex']:.4f} |", flush=True)
+    deltas.sort()
+    med = deltas[len(deltas) // 2] if len(deltas) % 2 else \
+        0.5 * (deltas[len(deltas) // 2 - 1] + deltas[len(deltas) // 2])
+    print(f"\nmedian Δval (bf16 − f32) over {len(deltas)} seeds = {med:+.4f}")
 
 
 if __name__ == "__main__":

@@ -58,6 +58,10 @@ def graph_cfg(arm, paths, fold, seed, run_dir, epochs):
         "seed": seed,
         "bcb_mode": "graph",
         "precision": "f32",
+        # recorded GRAPHPARITY artifacts were produced under threefry; pin it
+        # (the comparison is arm-vs-arm so any impl is self-consistent, but
+        # pinning keeps the recorded numbers reproducible)
+        "rng_impl": "threefry",
         # one bucket, 16 bags per device batch: bounds compile count and
         # keeps per-step bag grouping identical across variants
         "bucket_min": 256,

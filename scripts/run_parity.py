@@ -214,6 +214,11 @@ def ours_extra(cfg: dict) -> dict:
         "batch_token_budget": 4096,
         "bucket_min": 32,
         "monitor_metrics": "loss",
+        # all recorded parity artifacts are an f32/threefry-regime claim;
+        # the shipped default is rng_impl: rbg (hardware bit generation,
+        # BENCHNOTES round 4) — pin threefry here so PARITY.md stays
+        # reproducible by rerunning this harness
+        "rng_impl": "threefry",
     })
     return cfg
 
