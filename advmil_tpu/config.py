@@ -57,6 +57,12 @@ TPU_DEFAULTS = {
     # band coverage is high; pre-scanned at batcher build). Takes precedence
     # over graph_scatter_free when engaged.
     "graph_banded": "auto",        # auto|off
+    # grid-raster banding (real tissue graphs): when compact banding fails
+    # its coverage gate, the batcher re-embeds each slide into its bounding-
+    # box patch grid (constant neighbor offsets -> the banded kernel applies
+    # again) unless the grid would inflate the aggregation's node count by
+    # more than this factor (tissue fill << bbox)
+    "graph_grid_max_inflation": 3.0,
     "cache_bags": True,
     "accum_steps": 1,
     # with accum_steps>1: drop the trailing partial accumulator at epoch end,

@@ -201,6 +201,41 @@ class BagDataset:
         into host RAM (and the bag cache) before the first batch."""
         return self._load_edges(self.pids[index])
 
+    def peek_grid(self, index: int):
+        """Per-bag grid coordinates for grid-raster banding, or None.
+
+        Snaps each slide's patch centroids (stored in the graph files by
+        tools/build_graphs.py) to its extraction grid via
+        ops/segment.grid_layout; multi-slide bags stack slides vertically
+        (cumulative row offsets), mirroring _load_edges' index offsets —
+        edges never cross slides, so banding is per slide. Returns
+        (rc [N, 2] int64 (row, col), W, H_total) or None when any slide
+        lacks centroids or is not grid-regular (the batcher then keeps the
+        compact gather paths).
+        """
+        from ..ops.segment import grid_layout
+        pid = self.pids[index]
+        rcs, row_off, wmax = [], 0, 0
+        for sid in self.pid2sid[pid]:
+            npz_path = osp.join(self.graph_path, f"{sid}.npz")
+            if osp.exists(npz_path):
+                g = dict(np.load(npz_path))
+            else:
+                from ..utils.io import read_geom_graph
+                g = read_geom_graph(osp.join(self.graph_path, f"{sid}.pt"))
+            cent = g.get("centroid")
+            if cent is None:
+                return None
+            gl = grid_layout(np.asarray(cent))
+            if gl is None:
+                return None
+            gidx, W, H = gl
+            rcs.append(np.stack([gidx // W + row_off, gidx % W], axis=1))
+            row_off += H
+            wmax = max(wmax, W)
+        rc = np.concatenate(rcs, axis=0)
+        return rc, wmax, row_off
+
 
 def prepare_dataset(patient_ids: list, cfg: dict, **kws) -> BagDataset:
     """Build a BagDataset from the flat config (reference dataset/utils.py:4-33)."""
@@ -243,7 +278,8 @@ class BucketBatcher:
     def __init__(self, dataset: BagDataset, token_budget: int = 32768,
                  max_batch: int = 64, min_bucket: int = 256,
                  edges_per_node: int = 9, batch_multiple: int = 1,
-                 scatter_free: str = "auto", banded: str = "auto"):
+                 scatter_free: str = "auto", banded: str = "auto",
+                 grid_max_inflation: float = 3.0):
         self.ds = dataset
         self.token_budget = token_budget
         self.max_batch = max_batch
@@ -284,6 +320,19 @@ class BucketBatcher:
         self._band_on = False
         self._band_res_slots = 0
         self._band_u_slots = 0     # >0 => Pallas-kernel row tables shipped
+        # grid-raster banding (real tissue graphs): compact numbering is not
+        # banded, but embedded in the slide's bounding-box grid every grid
+        # neighbor is a constant offset (ops/segment.grid_layout +
+        # build_band_tables_matched). Engaged when compact banding fails its
+        # gate but the grid layout is available, covers >= 0.7 of the edges,
+        # and inflates the aggregation's node count by at most
+        # `grid_max_inflation`.
+        self._grid_on = False
+        self._grid_max_inflation = float(grid_max_inflation)
+        self._grid_res_slots = 0
+        self._grid_u_slots = 0
+        self._grid_rc: dict = {}        # bag index -> (rc [N,2], W, H)
+        self._bucket_grid_n: dict = {}  # bucket_n -> padded grid node count
         if dataset.mode == "graph" and (scatter_free != "off"
                                         or banded != "off"):
             from ..ops.segment import band_coverage
@@ -327,6 +376,8 @@ class BucketBatcher:
                       f"{self._band_res_slots}, residual rows "
                       f"{self._band_u_slots or 'n/a (rolls path)'}")
                 return
+            if banded != "off" and self._scan_grid(sizes):
+                return
             k_cols = -(-kmax // 8) * 8
             if scatter_free == "auto" and k_cols > self._rev_cap:
                 # hub-heavy graphs: padded rev-gather would cost more than
@@ -334,6 +385,68 @@ class BucketBatcher:
                 self._rev_disabled = True
             else:
                 self._rev_slots = k_cols
+
+    def _scan_grid(self, sizes) -> bool:
+        """Second-chance pre-scan: compact banding failed its coverage gate
+        (real tissue graphs — the tissue mask makes vertical raster offsets
+        vary per row), so try the grid-raster layout. Returns True and fixes
+        the grid slot counts when engaged."""
+        from ..ops.segment import build_band_tables_matched
+        epn = self.edges_per_node
+        band_edges = band_total = 0
+        res_max = u_max = off_max = 0
+        grid_sum = node_sum = 0
+        for i in range(len(sizes)):
+            g = self.ds.peek_grid(i)
+            n = int(sizes[i])
+            if g is None or g[0].shape[0] != n:
+                return False
+            rc, W, H = g
+            self._grid_rc[i] = g
+            gidx = rc[:, 0] * W + rc[:, 1]
+            grid_n = W * H
+            e = self.ds.peek_edges(i)
+            dst, src = e[0], e[1]
+            first = np.searchsorted(dst, dst, side="left")
+            pos = np.arange(dst.shape[0]) - first
+            kept = pos < epn
+            esrc_g = np.zeros((grid_n, epn), np.int32)
+            em_g = np.zeros((grid_n, epn), np.float32)
+            esrc_g[gidx[dst[kept]], pos[kept]] = gidx[src[kept]]
+            em_g[gidx[dst[kept]], pos[kept]] = 1.0
+            offs, _, ebanded, _, _, res_mask = build_band_tables_matched(
+                esrc_g, em_g, k=epn)
+            band_edges += float(ebanded.sum())
+            band_total += float(em_g.sum())
+            res_max = max(res_max, int(res_mask.sum()))
+            resid_rows = np.unique(
+                np.nonzero((em_g > 0) & (ebanded <= 0))[0]).size
+            u_max = max(u_max, resid_rows)
+            off_max = max(off_max, int(np.abs(offs).max(initial=0)))
+            grid_sum += grid_n
+            node_sum += n
+        cov = band_edges / max(band_total, 1)
+        inflation = grid_sum / max(node_sum, 1)
+        if cov < 0.7 or inflation > self._grid_max_inflation:
+            print(f"[batcher] grid-raster banding not engaged: coverage "
+                  f"{cov:.3f}, inflation {inflation:.2f}")
+            self._grid_rc.clear()
+            return False
+        self._grid_on = True
+        self._grid_res_slots = -(-max(res_max, 1) // 128) * 128
+        if off_max <= 128:  # Pallas kernel 3-block window admissibility
+            self._grid_u_slots = -(-max(u_max, 1) // 8) * 8
+        self._rev_disabled = True
+        # per-bucket padded grid node count (static per compiled shape)
+        for b, items in self._by_bucket.items():
+            gmax = max(self._grid_rc[i][1] * self._grid_rc[i][2]
+                       for i in items)
+            self._bucket_grid_n[int(self.buckets[b])] = -(-gmax // 128) * 128
+        print(f"[batcher] grid-raster banded streaming ON: coverage "
+              f"{cov:.3f}, inflation {inflation:.2f}, residual slots "
+              f"{self._grid_res_slots}, residual rows "
+              f"{self._grid_u_slots or 'n/a (rolls path)'}")
+        return True
 
     def _graph_tables(self, it: dict, bucket_n: int) -> dict:
         """Per-bag padded edge / band / reverse tables (graph mode).
@@ -368,7 +481,33 @@ class BucketBatcher:
         esrc[dst[keep], pos[keep]] = src[keep]
         em[dst[keep], pos[keep]] = 1.0
         tabs = {"_bucket_n": bucket_n}
-        if self._band_on:
+        if self._grid_on:
+            # grid-raster banding: rebuild the dense table in the slide's
+            # bounding-box grid layout (constant neighbor offsets) and ship
+            # offset-matched band tables + the tissue->grid index map
+            rc, W, H = self._grid_rc[idx]
+            grid_n = self._bucket_grid_n[bucket_n]
+            assert W * H <= grid_n
+            gidx = (rc[:, 0] * W + rc[:, 1]).astype(np.int64)
+            n = rc.shape[0]
+            from ..ops.segment import build_band_tables_matched
+            from ..ops.banded_pallas import build_u_tables
+            esrc_g = np.zeros((grid_n, epn), np.int32)
+            em_g = np.zeros((grid_n, epn), np.float32)
+            esrc_g[gidx[dst[keep]], pos[keep]] = gidx[src[keep]]
+            em_g[gidx[dst[keep]], pos[keep]] = 1.0
+            o, bmk, ebanded, rn_, rs_, rm_ = build_band_tables_matched(
+                esrc_g, em_g, k=epn, res_slots=self._grid_res_slots)
+            tabs.update(band_offs=o, band_mask=bmk, res_node=rn_,
+                        res_src=rs_, res_mask=rm_)
+            if self._grid_u_slots:
+                ur, us, ue = build_u_tables(esrc_g, em_g, ebanded,
+                                            u_slots=self._grid_u_slots)
+                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue)
+            gfull = np.full(bucket_n, grid_n, np.int32)  # sentinel: dropped
+            gfull[:n] = gidx
+            tabs["band_gidx"] = gfull
+        elif self._band_on:
             from ..ops.segment import build_band_tables
             o, bmk, rn, rs, rm = build_band_tables(
                 esrc, em, res_slots=self._band_res_slots)
@@ -490,14 +629,17 @@ class BucketBatcher:
             # without the cache the band decomposition re-ran for every bag
             # in every batch of every epoch on the host hot path.
             per = [self._graph_tables(it, bucket_n) for it in items]
-            if self._band_on:
+            if self._band_on or self._grid_on:
                 # banded streaming: the message gather (and therefore the
                 # dense [N, epn] edge tables) never reaches the device —
                 # ship only the band/residual tables (advisor r3)
                 keys = ["band_offs", "band_mask", "res_node", "res_src",
                         "res_mask"]
-                if self._band_u_slots:
+                if (self._grid_u_slots if self._grid_on
+                        else self._band_u_slots):
                     keys += ["band_urows", "band_usrc", "band_uemask"]
+                if self._grid_on:
+                    keys.append("band_gidx")
             else:
                 # node-bucketed DENSE edge layout: per destination node, up
                 # to `edges_per_node` incoming source indices. kNN graphs

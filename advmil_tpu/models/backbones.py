@@ -127,16 +127,32 @@ class GENConv(nn.Module):
         xr = nn.relu(x)
         if band is not None:
             y = xr + self.eps
-            if len(band) == 8 and self.use_pallas and pallas_available():
+            gidx = band.get("gidx")
+            if gidx is not None:
+                # grid-raster banding (real tissue graphs): band tables live
+                # in the slide's bounding-box grid layout, where every grid
+                # neighbor is a constant offset. Monotone scatter in, banded
+                # aggregate, monotone gather back; padded bag rows carry the
+                # out-of-range sentinel and are dropped / zeroed.
+                n_grid = band["mask"].shape[0]
+                valid = gidx < n_grid
+                y_agg = jnp.zeros((n_grid, y.shape[1]), y.dtype
+                                  ).at[gidx].set(y, mode="drop")
+            else:
+                y_agg = y
+            if "u_rows" in band and self.use_pallas and pallas_available():
                 # VMEM-resident banded kernel + exact residual-row overwrite
                 # (ops/banded_pallas.py) — zero HBM roll materialization
-                b_offs, b_mask, _, _, _, u_rows, u_src, u_emask = band
                 aggr = pallas_banded_aggregate(
-                    y, b_offs, b_mask, u_rows, u_src, u_emask, t[0])
+                    y_agg, band["offs"], band["mask"], band["u_rows"],
+                    band["u_src"], band["u_emask"], t[0])
             else:
-                b_offs, b_mask, r_node, r_src, r_mask = band[:5]
                 aggr = banded_knn_softmax_aggregate(
-                    y, b_offs, b_mask, r_node, r_src, r_mask, t[0])
+                    y_agg, band["offs"], band["mask"], band["res_node"],
+                    band["res_src"], band["res_mask"], t[0])
+            if gidx is not None:
+                safe = jnp.minimum(gidx, n_grid - 1)
+                aggr = jnp.where(valid[:, None], aggr[safe], 0.0)
         else:
             if rev_idx is not None:
                 msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
@@ -211,15 +227,21 @@ class PatchGCN(nn.Module):
         rev_idx = extra.get("rev_idx") if hasattr(extra, "get") else None
         rev_mask = extra.get("rev_mask") if hasattr(extra, "get") else None
         # banded streaming tables (mutually exclusive with rev tables):
-        # modal per-slot offsets + membership mask + exact residual list
+        # per-slot offsets + membership mask + exact residual list, with two
+        # optional extensions — row-level residual tables (Pallas kernel
+        # eligible) and a grid-layout index (grid-raster banding for real
+        # tissue graphs whose compact numbering is not banded)
         band = None
         if hasattr(extra, "get") and extra.get("band_offs") is not None:
-            band = (extra["band_offs"], extra["band_mask"],
-                    extra["res_node"], extra["res_src"], extra["res_mask"])
+            band = {"offs": extra["band_offs"], "mask": extra["band_mask"],
+                    "res_node": extra["res_node"], "res_src": extra["res_src"],
+                    "res_mask": extra["res_mask"]}
             if extra.get("band_urows") is not None:
-                # row-level residual tables -> Pallas banded kernel eligible
-                band += (extra["band_urows"], extra["band_usrc"],
-                         extra["band_uemask"])
+                band.update(u_rows=extra["band_urows"],
+                            u_src=extra["band_usrc"],
+                            u_emask=extra["band_uemask"])
+            if extra.get("band_gidx") is not None:
+                band["gidx"] = extra["band_gidx"]
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)

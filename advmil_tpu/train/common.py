@@ -118,7 +118,9 @@ class HandlerCommon:
                           # reverse tables only pay off in the backward pass
                           scatter_free=(_scatter_free_cfg(self.cfg)
                                         if for_train else "off"),
-                          banded=self.cfg.get("graph_banded", "auto"))
+                          banded=self.cfg.get("graph_banded", "auto"),
+                          grid_max_inflation=float(
+                              self.cfg.get("graph_grid_max_inflation", 3.0)))
         b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
         return b
 

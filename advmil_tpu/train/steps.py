@@ -47,7 +47,8 @@ def _gen_extra(batch: dict, bcb_mode: str):
         extra = {}
         for k in ("edge_src", "edge_mask", "rev_idx", "rev_mask",
                   "band_offs", "band_mask", "res_node", "res_src",
-                  "res_mask", "band_urows", "band_usrc", "band_uemask"):
+                  "res_mask", "band_urows", "band_usrc", "band_uemask",
+                  "band_gidx"):
             if k in batch:
                 extra[k] = batch[k]
         return extra

@@ -1,0 +1,296 @@
+"""Grid-raster banding: offset-matched band tables + the grid-layout path.
+
+Real tissue graphs are NOT banded in compact numbering (the tissue mask makes
+vertical raster offsets vary per row — measured coverage ~0.3), but embedded
+back into the slide's bounding-box grid every grid neighbor is a constant
+offset (~0.94 coverage). These tests pin the three layers of that feature:
+
+  * build_band_tables_matched: slot-reassigned band decomposition is exact
+    against the dense-table oracle (values AND gradients);
+  * grid_layout: snaps real patch grids, rejects non-grid centroids;
+  * GENConv's grid path (scatter -> banded aggregate -> gather) equals the
+    compact dense-edge path, through both the jnp rolls aggregation and the
+    Pallas kernel (interpret mode), values and gradients;
+  * the BucketBatcher pre-scan engages grid banding on tissue-shaped graphs
+    (where compact banding fails its gate) and ships consistent tables.
+
+Reference counterpart: torch_geometric's gather/scatter message passing
+consumes the same graphs (reference model/backbone.py:126-168); the grid
+decomposition is TPU-native structure with no reference analogue.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advmil_tpu.models.backbones import GENConv
+from advmil_tpu.ops.banded_pallas import build_u_tables, pallas_banded_aggregate
+from advmil_tpu.ops.segment import (banded_knn_softmax_aggregate,
+                                    build_band_tables_matched, grid_layout,
+                                    knn_edge_softmax_aggregate)
+
+
+def _dedup_sources(esrc, em):
+    """Contract of the dense edge table: sources unique per node."""
+    for i in range(esrc.shape[0]):
+        _, idx = np.unique(esrc[i], return_index=True)
+        keep = np.zeros(esrc.shape[1], bool)
+        keep[idx] = True
+        em[i] = em[i] * keep
+    return em
+
+
+def _tissue_graph(seed=0, gw=24, epn=8):
+    """Tissue-masked grid slide -> (coords, compact dense table, N)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:gw, 0:gw].astype(np.float64)
+    cy, cx = gw / 2 + rng.uniform(-3, 3), gw / 2 + rng.uniform(-3, 3)
+    ry, rx = rng.uniform(0.3 * gw, 0.45 * gw, 2)
+    mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    mask &= ~(rng.random((gw, gw)) < 0.04)
+    ys, xs = np.nonzero(mask)
+    coords = np.stack([xs, ys], 1).astype(np.float32) * 256.0
+    n = len(coords)
+    from advmil_tpu.tools.build_graphs import build_graph
+    g = build_graph(coords, np.zeros((n, 4), np.float32), radius=epn + 1,
+                    use_device_for_feats=False)
+    ei = g["edge_index"]
+    order = np.argsort(ei[0], kind="stable")
+    dst, src = ei[0][order], ei[1][order]
+    first = np.searchsorted(dst, dst, side="left")
+    pos = np.arange(len(dst)) - first
+    keep = pos < epn
+    esrc = np.zeros((n, epn), np.int32)
+    em = np.zeros((n, epn), np.float32)
+    esrc[dst[keep], pos[keep]] = src[keep]
+    em[dst[keep], pos[keep]] = 1.0
+    return coords, esrc, em, n
+
+
+def test_matched_tables_exact_values_and_grads():
+    rng = np.random.default_rng(3)
+    N, epn, C = 61, 6, 24
+    esrc = rng.integers(0, N, (N, epn)).astype(np.int32)
+    em = _dedup_sources(esrc, (rng.random((N, epn)) < 0.75).astype(np.float32))
+    offs, bm, _, rn, rs, rm = build_band_tables_matched(esrc, em, k=epn)
+    y = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    t = jnp.float32(0.8)
+
+    def banded(y, t):
+        return banded_knn_softmax_aggregate(
+            y, jnp.asarray(offs), jnp.asarray(bm), jnp.asarray(rn),
+            jnp.asarray(rs), jnp.asarray(rm), t)
+
+    def oracle(y, t):
+        return knn_edge_softmax_aggregate(y[jnp.asarray(esrc)],
+                                          jnp.asarray(em), t)
+
+    np.testing.assert_allclose(np.asarray(banded(y, t)),
+                               np.asarray(oracle(y, t)), atol=1e-5)
+    w = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+    gb = jax.grad(lambda y, t: jnp.sum(banded(y, t) * w), argnums=(0, 1))(y, t)
+    go = jax.grad(lambda y, t: jnp.sum(oracle(y, t) * w), argnums=(0, 1))(y, t)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(go[0]), atol=2e-5)
+    np.testing.assert_allclose(float(gb[1]), float(go[1]), rtol=1e-4)
+
+
+def test_matched_tables_pad_offsets_never_duplicate():
+    """Fewer unique offsets than k: pads must not double-count any edge
+    (a 0-pad colliding with a real 0 offset was the failure mode)."""
+    N, epn = 12, 4
+    esrc = np.zeros((N, epn), np.int32)
+    em = np.zeros((N, epn), np.float32)
+    for i in range(N):            # one self-loop edge per node: offset 0 only
+        esrc[i, 0] = i
+        em[i, 0] = 1.0
+    offs, bm, _, _, _, rm = build_band_tables_matched(esrc, em, k=epn)
+    assert len(np.unique(offs)) == epn           # distinct slots
+    assert bm.sum() == N                         # each edge banded once
+    assert rm.sum() == 0
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(N, 8)), jnp.float32)
+    got = banded_knn_softmax_aggregate(
+        y, jnp.asarray(offs), jnp.asarray(bm),
+        jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+        jnp.zeros(4, jnp.float32), jnp.float32(1.0))
+    want = knn_edge_softmax_aggregate(y[jnp.asarray(esrc)], jnp.asarray(em),
+                                      jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_grid_layout_snap_and_reject():
+    xs, ys = np.meshgrid(np.arange(5), np.arange(4), indexing="xy")
+    sel = np.asarray([0, 1, 2, 7, 8, 13, 19])
+    coords = np.stack([xs.ravel(), ys.ravel()], 1)[sel].astype(np.float32) * 512
+    gidx, W, H = grid_layout(coords)
+    np.testing.assert_array_equal(gidx, sel)
+    assert (W, H) == (5, 4)
+    assert grid_layout(np.random.default_rng(0).normal(
+        size=(30, 2)).astype(np.float32)) is None
+    # duplicate patches are not a grid
+    dup = np.concatenate([coords, coords[:1]], axis=0)
+    assert grid_layout(dup) is None
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_grid_band_path_equals_compact_oracle(use_kernel):
+    """Scatter into grid -> banded aggregate -> gather back == the compact
+    dense-edge oracle, for both the jnp rolls path and the Pallas kernel
+    (interpret mode), values and gradients, on a real tissue-shaped graph."""
+    coords, esrc, em, n = _tissue_graph(seed=1, gw=20)
+    gidx_t, W, H = grid_layout(coords)
+    epn = esrc.shape[1]
+    grid_n = W * H
+    # grid-layout dense table
+    gidx = np.asarray(gidx_t)
+    esrc_g = np.zeros((grid_n, epn), np.int32)
+    em_g = np.zeros((grid_n, epn), np.float32)
+    rows, slots = np.nonzero(em > 0)
+    esrc_g[gidx[rows], slots] = gidx[esrc[rows, slots]]
+    em_g[gidx[rows], slots] = 1.0
+    offs, bm, ebanded, rn, rs, rm = build_band_tables_matched(
+        esrc_g, em_g, k=epn)
+    assert 0.5 < ebanded.sum() / em.sum() < 1.0  # genuinely partial coverage
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    t = jnp.float32(0.9)
+    if use_kernel:
+        ur, us, ue = build_u_tables(esrc_g, em_g, ebanded)
+
+    def grid_path(y, t):
+        yg = jnp.zeros((grid_n, y.shape[1]), y.dtype
+                       ).at[jnp.asarray(gidx)].set(y)
+        if use_kernel:
+            ag = pallas_banded_aggregate(
+                yg, jnp.asarray(offs), jnp.asarray(bm), jnp.asarray(ur),
+                jnp.asarray(us), jnp.asarray(ue), t, True)
+        else:
+            ag = banded_knn_softmax_aggregate(
+                yg, jnp.asarray(offs), jnp.asarray(bm), jnp.asarray(rn),
+                jnp.asarray(rs), jnp.asarray(rm), t)
+        return ag[jnp.asarray(gidx)]
+
+    def oracle(y, t):
+        return knn_edge_softmax_aggregate(y[jnp.asarray(esrc)],
+                                          jnp.asarray(em), t)
+
+    np.testing.assert_allclose(np.asarray(grid_path(y, t)),
+                               np.asarray(oracle(y, t)), atol=2e-5)
+    gg = jax.grad(lambda y, t: jnp.sum(grid_path(y, t) * w),
+                  argnums=(0, 1))(y, t)
+    go = jax.grad(lambda y, t: jnp.sum(oracle(y, t) * w), argnums=(0, 1))(y, t)
+    np.testing.assert_allclose(np.asarray(gg[0]), np.asarray(go[0]), atol=3e-5)
+    np.testing.assert_allclose(float(gg[1]), float(go[1]), rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_genconv_grid_band_dict_matches_edge_path():
+    """GENConv fed the grid band dict (rolls path on CPU) == GENConv fed the
+    compact dense edge table, including padded bag rows (sentinel gidx)."""
+    coords, esrc, em, n = _tissue_graph(seed=2, gw=16)
+    gidx_t, W, H = grid_layout(coords)
+    gidx = np.asarray(gidx_t)
+    epn = esrc.shape[1]
+    grid_n = W * H
+    esrc_g = np.zeros((grid_n, epn), np.int32)
+    em_g = np.zeros((grid_n, epn), np.float32)
+    rows, slots = np.nonzero(em > 0)
+    esrc_g[gidx[rows], slots] = gidx[esrc[rows, slots]]
+    em_g[gidx[rows], slots] = 1.0
+    offs, bm, _, rn, rs, rm = build_band_tables_matched(esrc_g, em_g, k=epn)
+    n_pad = n + 5                       # padded bag rows
+    x = np.random.default_rng(7).normal(size=(n_pad, 12)).astype(np.float32)
+    gfull = np.full(n_pad, grid_n, np.int32)
+    gfull[:n] = gidx
+    band = {"offs": jnp.asarray(offs), "mask": jnp.asarray(bm),
+            "res_node": jnp.asarray(rn), "res_src": jnp.asarray(rs),
+            "res_mask": jnp.asarray(rm), "gidx": jnp.asarray(gfull)}
+    model = GENConv(12, use_pallas=False)
+    esrc_pad = np.zeros((n_pad, epn), np.int32)
+    em_pad = np.zeros((n_pad, epn), np.float32)
+    esrc_pad[:n], em_pad[:n] = esrc, em
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(esrc_pad), jnp.asarray(em_pad),
+                        deterministic=True)["params"]
+    out_edges = model.apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(esrc_pad), jnp.asarray(em_pad),
+                            deterministic=True)
+    out_grid = model.apply({"params": params}, jnp.asarray(x), None, None,
+                           band=band, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_grid), np.asarray(out_edges),
+                               atol=3e-5)
+
+
+def test_batcher_engages_grid_banding(tmp_path):
+    """Tissue-shaped tool graphs: compact banding fails its gate, the grid
+    pre-scan engages, and the shipped tables reproduce the dense oracle."""
+    from advmil_tpu.data.bags import BagDataset, BucketBatcher
+
+    root = tmp_path
+    feat_dir = root / "feats"
+    graph_dir = root / "graphs"
+    feat_dir.mkdir()
+    graph_dir.mkdir()
+    rng = np.random.default_rng(0)
+    pids = []
+    import pandas as pd
+    rows = []
+    for i in range(4):
+        coords, esrc, em, n = _tissue_graph(seed=10 + i, gw=18)
+        pid = f"p{i}"
+        sid = f"{pid}_s0"
+        np.save(feat_dir / f"{sid}.npy",
+                rng.normal(size=(n, 16)).astype(np.float32))
+        dst_l, src_l = np.nonzero(em > 0)
+        ei = np.stack([dst_l, esrc[dst_l, src_l]]).astype(np.int64)
+        from advmil_tpu.tools.build_graphs import build_graph  # noqa: F401
+        np.savez(graph_dir / f"{sid}.npz", edge_index=ei, edge_latent=ei,
+                 centroid=coords, num_nodes=np.asarray(n))
+        pids.append(pid)
+        rows.append({"patient_id": pid, "pathology_id": sid,
+                     "t": 1.0 + i, "e": 1})
+    table = root / "labels.csv"
+    pd.DataFrame(rows).to_csv(table, index=False)
+
+    ds = BagDataset(pids, str(feat_dir), str(table), mode="graph",
+                    graph_path=str(graph_dir), read_format="npy",
+                    time_format="ratio")
+    b = BucketBatcher(ds, token_budget=4096, min_bucket=64, edges_per_node=8)
+    assert b._grid_on and not b._band_on
+    assert b._grid_u_slots > 0          # kernel-eligible (small slides)
+    batch = next(iter(b.epoch_batches()))
+    assert "band_gidx" in batch.extra and "edge_src" not in batch.extra
+    # shipped tables reproduce the dense oracle for bag 0 of the batch
+    j = 0
+    idx = int(batch.idx[j])
+    e = ds.peek_edges(idx)
+    n = ds.bag_size(idx)
+    bucket_n = batch.feats.shape[1]
+    dst, src = e[0], e[1]
+    first = np.searchsorted(dst, dst, side="left")
+    pos = np.arange(len(dst)) - first
+    keep = pos < 8
+    esrc = np.zeros((bucket_n, 8), np.int32)
+    em = np.zeros((bucket_n, 8), np.float32)
+    esrc[dst[keep], pos[keep]] = src[keep]
+    em[dst[keep], pos[keep]] = 1.0
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(bucket_n, 8)),
+                    jnp.float32)
+    gidx = jnp.asarray(batch.extra["band_gidx"][j])
+    grid_n = batch.extra["band_mask"].shape[1]
+    yg = jnp.zeros((grid_n, 8), jnp.float32).at[gidx].set(y, mode="drop")
+    ag = banded_knn_softmax_aggregate(
+        yg, jnp.asarray(batch.extra["band_offs"][j]),
+        jnp.asarray(batch.extra["band_mask"][j]),
+        jnp.asarray(batch.extra["res_node"][j]),
+        jnp.asarray(batch.extra["res_src"][j]),
+        jnp.asarray(batch.extra["res_mask"][j]), jnp.float32(1.0))
+    got = jnp.where((gidx < grid_n)[:, None],
+                    ag[jnp.minimum(gidx, grid_n - 1)], 0.0)
+    want = knn_edge_softmax_aggregate(y[jnp.asarray(esrc)], jnp.asarray(em),
+                                      jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
+                               atol=2e-5)
+    # padded bag rows aggregate to zero through the sentinel
+    np.testing.assert_allclose(np.asarray(got)[n:], 0.0, atol=0)
