@@ -71,13 +71,21 @@ class EmbedXLayer(nn.Module):
     use_lnpool: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic: bool):
-        emb_ins = make_embedding_layer(self.backbone, self.in_dim, self.out_dim,
-                                       ksize=self.ksize,
+    def __call__(self, x, mask, *, deterministic: bool, emb=None):
+        # emb: optionally reuse a previously computed patch embedding — the
+        # embedding sub-tower is dropout-free, so a second scoring pass over
+        # the same x (the D phase's real/fake pair) can share ONE jaxpr node:
+        # the [B,N,in_dim] feats read happens once and the backward sums the
+        # pair's cotangents before the feats-reading dW transpose dot
+        # (BENCHNOTES round-4 roofline: the split dW was 6% of the step).
+        if emb is None:
+            emb = make_embedding_layer(self.backbone, self.in_dim,
+                                       self.out_dim, ksize=self.ksize,
                                        dense_init=self.dense_init,
                                        use_lnpool=self.use_lnpool,
                                        name="embedding")(
-            x, mask, deterministic=deterministic)       # [B, L, C']
+                x, mask, deterministic=deterministic)    # [B, L, C']
+        emb_ins = emb
         rmask = region_mask_from_patch_mask(mask)
         fc_ins = BottleneckMLP(self.out_dim, dropout=self.dropout, dense_init=self.dense_init,
                                name="fc1")(emb_ins, deterministic=deterministic)
@@ -86,7 +94,7 @@ class EmbedXLayer(nn.Module):
             fc_ins, rmask, deterministic=deterministic)  # [B, C']
         fc_bag = BottleneckMLP(self.out_dim, dropout=self.dropout, dense_init=self.dense_init,
                                name="fc2")(emb_bag, deterministic=deterministic)
-        return fc_bag, fc_ins, rmask
+        return fc_bag, fc_ins, rmask, emb
 
 
 class EmbedYLayer(nn.Module):
@@ -125,18 +133,26 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, mask, *, deterministic: bool = True):
-        hid_t = EmbedYLayer(self.nety_in_dim, self.nety_hid_dims,
-                            norm=self.nety_norm, dropout=self.nety_dropout,
-                            name="net_pair_two")(t, deterministic=deterministic)
-        hid_x, _, _ = EmbedXLayer(self.netx_in_dim, self.netx_out_dim,
-                                  ksize=self.netx_ksize, dropout=self.netx_dropout,
-                                  backbone=self.netx_backbone,
-                                  use_lnpool=self.use_lnpool,
-                                  name="net_pair_one")(
-            x, mask, deterministic=deterministic)
-        hid = jnp.concatenate([hid_x, hid_t], axis=-1)
+        # t may be a tuple (real, fake): same shared-embedding pair contract
+        # as PrjDiscriminator (see there)
+        ts = t if isinstance(t, tuple) else (t,)
+        embX = EmbedXLayer(self.netx_in_dim, self.netx_out_dim,
+                           ksize=self.netx_ksize, dropout=self.netx_dropout,
+                           backbone=self.netx_backbone,
+                           use_lnpool=self.use_lnpool, name="net_pair_one")
+        netY = EmbedYLayer(self.nety_in_dim, self.nety_hid_dims,
+                           norm=self.nety_norm, dropout=self.nety_dropout,
+                           name="net_pair_two")
         d_in = self.netx_out_dim + self.nety_hid_dims[-1]
-        return make_dense(1, DenseInit.TORCH, in_features=d_in, name="fc")(hid)
+        fc = make_dense(1, DenseInit.TORCH, in_features=d_in, name="fc")
+        outs = []
+        emb = None
+        for tt in ts:
+            hid_t = netY(tt, deterministic=deterministic)
+            hid_x, _, _, emb = embX(x, mask, deterministic=deterministic,
+                                    emb=emb)
+            outs.append(fc(jnp.concatenate([hid_x, hid_t], axis=-1)))
+        return outs[0] if not isinstance(t, tuple) else tuple(outs)
 
 
 class PrjDiscriminator(nn.Module):
@@ -162,29 +178,47 @@ class PrjDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x, t, mask, *, deterministic: bool = True):
         assert self.inner_product in ("bag", "instance")
-        hid_t = EmbedYLayer(self.nety_in_dim, self.nety_hid_dims,
-                            norm=self.nety_norm, dropout=self.nety_dropout,
-                            name="net_pair_two")(t, deterministic=deterministic)
-        hid_x, emb_ins, rmask = EmbedXLayer(
+        # t may be a TUPLE (t_real, t_fake): both pairs are scored within one
+        # trace, sharing the dropout-free patch-embedding sub-tower (one
+        # [B,N,in_dim] feats read forward AND one merged dW backward) while
+        # every dropout-carrying layer (fc1/pool/fc2, nety) runs per pair
+        # with independent masks — semantically the reference's two separate
+        # train-mode netD calls (reference model/model_handler.py:345-352).
+        ts = t if isinstance(t, tuple) else (t,)
+        embX = EmbedXLayer(
             self.netx_in_dim, self.netx_out_dim, ksize=self.netx_ksize,
             dropout=self.netx_dropout, backbone=self.netx_backbone,
-            use_lnpool=self.use_lnpool,
-            name="net_pair_one")(
-            x, mask, deterministic=deterministic)
-        if self.inner_product == "bag":
-            out = jnp.sum(hid_t * hid_x, axis=-1, keepdims=True)   # [B, 1]
-        else:
-            out_ins = jnp.sum(emb_ins * hid_t[:, None, :], axis=-1)  # [B, L]
-            out = masked_mean(out_ins[..., None], rmask[..., None], axis=-2)  # [B,1]
+            use_lnpool=self.use_lnpool, name="net_pair_one")
+        netY = EmbedYLayer(self.nety_in_dim, self.nety_hid_dims,
+                           norm=self.nety_norm, dropout=self.nety_dropout,
+                           name="net_pair_two")
+        prj = None
         if self.prj_path == "x":
-            p = make_dense(1, DenseInit.TORCH, in_features=self.netx_out_dim,
-                           name="prj_layer")(hid_x)
-            out = out + p
+            prj = make_dense(1, DenseInit.TORCH,
+                             in_features=self.netx_out_dim, name="prj_layer")
         elif self.prj_path == "y":
-            p = make_dense(1, DenseInit.TORCH, in_features=self.nety_hid_dims[-1],
-                           name="prj_layer")(hid_t)
-            out = out + p
-        return out
+            prj = make_dense(1, DenseInit.TORCH,
+                             in_features=self.nety_hid_dims[-1],
+                             name="prj_layer")
+        outs = []
+        emb = None
+        for tt in ts:
+            hid_t = netY(tt, deterministic=deterministic)
+            hid_x, emb_ins, rmask, emb = embX(x, mask,
+                                              deterministic=deterministic,
+                                              emb=emb)
+            if self.inner_product == "bag":
+                out = jnp.sum(hid_t * hid_x, axis=-1, keepdims=True)  # [B, 1]
+            else:
+                out_ins = jnp.sum(emb_ins * hid_t[:, None, :], axis=-1)  # [B, L]
+                out = masked_mean(out_ins[..., None], rmask[..., None],
+                                  axis=-2)                            # [B, 1]
+            if self.prj_path == "x":
+                out = out + prj(hid_x)
+            elif self.prj_path == "y":
+                out = out + prj(hid_t)
+            outs.append(out)
+        return outs[0] if not isinstance(t, tuple) else tuple(outs)
 
 
 class SurvNet(nn.Module):

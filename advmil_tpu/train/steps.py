@@ -116,8 +116,9 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
         pred_detached = jax.lax.stop_gradient(pred_eval)
 
         # independent dropout masks for the real and fake D forwards (the
-        # reference's two train-mode netD calls each draw fresh masks)
-        kD_drop_real, kD_drop_fake = jax.random.split(kD_drop)
+        # reference's two train-mode netD calls each draw fresh masks) come
+        # from per-pair rng folds inside the single pair-batched call
+        kD_drop_real = kD_drop
 
         def d_loss_fn(params_D):
             if is_disc_task:
@@ -128,14 +129,15 @@ def make_adv_train_step(gen_model, disc_model, tx_G, tx_D, *, task: str,
                 t_real = t[:, None]
                 real_w = (e == 1).astype(jnp.float32) * visible
                 fake_in = pred_detached
-            f_real = disc_model.apply({"params": params_D}, feats, t_real, mask,
-                                      deterministic=False,
-                                      rngs={"dropout": kD_drop_real}
-                                      ).astype(jnp.float32)
-            f_fake = disc_model.apply({"params": params_D}, feats, fake_in, mask,
-                                      deterministic=False,
-                                      rngs={"dropout": kD_drop_fake}
-                                      ).astype(jnp.float32)
+            # one pair-batched call: the dropout-free netx patch embedding is
+            # a single shared jaxpr node (one feats read fwd, one merged dW
+            # bwd — BENCHNOTES round-4 roofline), while every dropout layer
+            # still draws independent masks per pair element
+            f_real, f_fake = disc_model.apply(
+                {"params": params_D}, feats, (t_real, fake_in), mask,
+                deterministic=False, rngs={"dropout": kD_drop_real})
+            f_real = f_real.astype(jnp.float32)
+            f_fake = f_fake.astype(jnp.float32)
             loss = losses.real_fake_loss(f_real, f_fake, which=loss_netD,
                                          real_weight=real_w, fake_weight=smask)
             aux = {"f_real": f_real, "f_fake": f_fake, "real_w": real_w}

@@ -27,8 +27,10 @@ def main():
 
     import jax
     import bench
+    from advmil_tpu.config import enable_compilation_cache
     from advmil_tpu.models.layers import set_compute_dtype
 
+    enable_compilation_cache({"xla_cache_dir": "~/.cache/advmil-tpu/xla"})
     set_compute_dtype("bf16")
     n = args.n or bench.BAG_N
     step, state, batch, _, _ = bench.build_step(args.mode, n, args.b)

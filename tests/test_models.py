@@ -395,3 +395,57 @@ class TestPositionalEmbedding:
         np.testing.assert_allclose(np.asarray(pe[0]),
                                    [np.sin(1), np.sin(1e-4), np.cos(1),
                                     np.cos(1e-4), 0, 0, 1, 1], atol=1e-6)
+
+
+def test_discriminator_pair_call_matches_two_single_calls():
+    """The D phase's pair-batched call (t as a tuple) shares only the
+    dropout-free patch-embedding node: with dropout disabled it must equal
+    two independent single calls bitwise, for both discriminator classes,
+    and its gradients must equal the SUM of the single calls' gradients
+    (the merged feats-reading dW — BENCHNOTES round-4 roofline)."""
+    import jax
+    import jax.numpy as jnp
+    from advmil_tpu.models.gan import Discriminator, PrjDiscriminator
+
+    rng = np.random.default_rng(11)
+    B, N, C = 3, 64, 32
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    mask = jnp.ones((B, N), jnp.float32)
+    t1 = jnp.asarray(rng.uniform(size=(B, 1)), jnp.float32)
+    t2 = jnp.asarray(rng.uniform(size=(B, 1)), jnp.float32)
+    for disc in [
+        PrjDiscriminator(netx_in_dim=C, netx_out_dim=16, nety_in_dim=1,
+                         nety_hid_dims=(8, 16), prj_path="x",
+                         inner_product="instance"),
+        PrjDiscriminator(netx_in_dim=C, netx_out_dim=16, nety_in_dim=1,
+                         nety_hid_dims=(8, 16), prj_path="y",
+                         inner_product="bag"),
+        Discriminator(netx_in_dim=C, netx_out_dim=16, nety_in_dim=1,
+                      nety_hid_dims=(8, 16)),
+    ]:
+        key = jax.random.PRNGKey(0)
+        params = disc.init({"params": key, "dropout": key}, x, t1, mask,
+                           deterministic=True)["params"]
+        fr, ff = disc.apply({"params": params}, x, (t1, t2), mask,
+                            deterministic=True)
+        f1 = disc.apply({"params": params}, x, t1, mask, deterministic=True)
+        f2 = disc.apply({"params": params}, x, t2, mask, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(fr), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(ff), np.asarray(f2))
+
+        def loss_pair(p):
+            a, b = disc.apply({"params": p}, x, (t1, t2), mask,
+                              deterministic=True)
+            return jnp.sum(a) + 2.0 * jnp.sum(b)
+
+        def loss_two(p):
+            a = disc.apply({"params": p}, x, t1, mask, deterministic=True)
+            b = disc.apply({"params": p}, x, t2, mask, deterministic=True)
+            return jnp.sum(a) + 2.0 * jnp.sum(b)
+
+        gp = jax.grad(loss_pair)(params)
+        gt = jax.grad(loss_two)(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(gt)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
