@@ -294,3 +294,75 @@ def test_batcher_engages_grid_banding(tmp_path):
                                atol=2e-5)
     # padded bag rows aggregate to zero through the sentinel
     np.testing.assert_allclose(np.asarray(got)[n:], 0.0, atol=0)
+
+
+def test_grid_vs_gather_training_equivalence(tmp_path, capsys):
+    """End-to-end handler training on tissue-shaped tool graphs: the
+    grid-raster banded path (graph_banded auto -> grid engages) and the
+    plain gather oracle (banded off, reverse tables off) compute the same
+    function, so with identical seed/init/shuffle/dropout their first-epoch
+    losses must agree to f32 summation-order noise and their val C-index
+    trajectories must stay within metric-quantum jitter."""
+    from advmil_tpu.data.synthetic import make_synthetic_dataset
+    from tests.test_handlers_modes import baseline_cfg
+    from advmil_tpu.train.baseline import BaselineHandler
+
+    root = str(tmp_path / "ds")
+    paths = make_synthetic_dataset(root, n_patients=24, dim=64,
+                                   min_regions=2, max_regions=6, seed=3)
+    # overwrite the chain graphs + feats with tissue-masked tool graphs
+    import glob
+    import os.path as osp
+    rng = np.random.default_rng(0)
+    for i, f in enumerate(sorted(glob.glob(osp.join(root, "graphs", "*.npz")))):
+        sid = osp.basename(f)[:-4]
+        coords, esrc, em, n = _tissue_graph(seed=40 + i, gw=10)
+        dst_l, src_l = np.nonzero(em > 0)
+        ei = np.stack([dst_l, esrc[dst_l, src_l]]).astype(np.int64)
+        np.savez(f, edge_index=ei, edge_latent=ei, centroid=coords,
+                 num_nodes=np.asarray(n))
+        np.save(osp.join(root, "feats", f"{sid}.npy"),
+                rng.normal(size=(n, 64)).astype(np.float32))
+
+    class _Rec:
+        def __init__(self):
+            self.logs = []
+
+        def log(self, d):
+            self.logs.append({k: float(v) for k, v in d.items()})
+
+        def finish(self):
+            pass
+
+    def run(variant, sub):
+        over = {"task": "surv_nll", "bcb_mode": "graph", "pdh_dims": "32-4",
+                "bcb_dims": "64-32-32", "disc_netx_in_dim": 64,
+                "epochs": 3, "seed": 42}
+        over.update(variant)
+        cfg = baseline_cfg(paths, tmp_path / sub, **over)
+        h = BaselineHandler(cfg)
+        rec = _Rec()
+        h.logger = rec
+        metrics = h.exec()
+        out = capsys.readouterr().out
+        if sub == "a":
+            assert "grid-raster banded streaming ON" in out, \
+                "tissue graphs must engage grid-raster banding"
+        else:
+            assert "grid-raster banded streaming ON" not in out
+        losses = [d["train_batch/net/loss_supervision"] for d in rec.logs
+                  if "train_batch/net/loss_supervision" in d]
+        cis = [d["validation/c_index"] for d in rec.logs
+               if "validation/c_index" in d]
+        return losses, cis, dict(metrics["validation"])["cindex"]
+
+    la, ca, va = run({"graph_banded": "auto"}, "a")
+    lb, cb, vb = run({"graph_banded": "off", "graph_scatter_free": "off"},
+                     "b")
+    # first optimizer steps: same function, same everything -> f32 noise only
+    for x, y in zip(la[:4], lb[:4]):
+        assert abs(x - y) / max(abs(y), 1e-8) < 1e-4, (la[:4], lb[:4])
+    # trajectories agree (tiny dataset: chaos can flip a discordant pair
+    # late; demand epoch-1 equality and a small final gap)
+    assert abs(ca[0] - cb[0]) < 1e-6, (ca, cb)
+    assert abs(va - vb) <= 0.05, (va, vb, ca, cb)
