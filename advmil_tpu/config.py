@@ -121,7 +121,10 @@ def apply_rng_impl(cfg: dict):
     ESAT steps; BENCHNOTES round 4). ``threefry`` is the bitwise-reproducible
     regime used for all recorded parity artifacts."""
     impl = str(cfg.get("rng_impl", "rbg"))
-    assert impl in ("rbg", "threefry", "unsafe_rbg"), f"rng_impl: {impl}"
+    assert impl in ("rbg", "threefry", "threefry2x32", "unsafe_rbg"), \
+        f"rng_impl: {impl}"
+    if impl == "threefry":       # JAX registers it as 'threefry2x32'
+        impl = "threefry2x32"
     import jax
     jax.config.update("jax_default_prng_impl", impl)
 
@@ -189,7 +192,8 @@ def effective_flash_min_len(cfg: dict) -> int:
 def check_configs(cfg: dict):
     """Cross-field validation (reference model/model_handler.py:780-812)."""
     scatter_free_from_cfg(cfg)
-    assert str(cfg.get("rng_impl", "rbg")) in ("rbg", "threefry", "unsafe_rbg"), \
+    assert str(cfg.get("rng_impl", "rbg")) in (
+        "rbg", "threefry", "threefry2x32", "unsafe_rbg"), \
         f"rng_impl must be rbg/threefry/unsafe_rbg, got {cfg.get('rng_impl')}"
     assert cfg.get("monitor_metrics", "loss") in ("loss", "ci", "ci_max"), \
         "monitor_metrics must be loss / ci (reference-inverted) / ci_max"

@@ -65,3 +65,24 @@ def test_multi_run_appends_save_path_suffix(tmp_path, monkeypatch):
            "test": False}
     cli.multi_run_main(FakeHandler, cfg)
     assert calls == ["base-data_split_seed_0", "base-data_split_seed_1"]
+
+
+def test_apply_rng_impl_accepts_every_documented_name():
+    """'threefry' (the parity harness's pin) must alias to JAX's registered
+    'threefry2x32'; all documented values round-trip; junk is rejected."""
+    import jax
+    import pytest as _pytest
+    from advmil_tpu.config import apply_rng_impl
+    before = jax.config.jax_default_prng_impl
+    try:
+        for name, expect in [("threefry", "threefry2x32"),
+                             ("threefry2x32", "threefry2x32"),
+                             ("rbg", "rbg"), ("unsafe_rbg", "unsafe_rbg")]:
+            apply_rng_impl({"rng_impl": name})
+            assert jax.config.jax_default_prng_impl == expect
+        apply_rng_impl({})  # shipped default
+        assert jax.config.jax_default_prng_impl == "rbg"
+        with _pytest.raises(AssertionError):
+            apply_rng_impl({"rng_impl": "mersenne"})
+    finally:
+        jax.config.update("jax_default_prng_impl", before)
