@@ -22,6 +22,11 @@ TPU_DEFAULTS = {
     "batch_token_budget": 32768,   # patches per device batch
     "batch_max_size": 64,          # max bags per batch
     "bucket_min": 256,             # smallest bag bucket (multiple of 16)
+    # geometric growth between bucket sizes: 2.0 = power-of-two; smaller
+    # (e.g. 1.5) trades more compiled shapes (persistent-cache-served) for
+    # ~(growth-1)/2 less padding waste per bag. Top bucket is always clamped
+    # to the dataset's own max bag size rounded up to a multiple of 16.
+    "bucket_growth": 2.0,
     "dp_devices": 1,               # data-parallel device count
     "inst_devices": 1,             # instance(sequence)-parallel device count
     # multi-host (DCN) settings — parallel/dist.py; all-None = single process

@@ -26,14 +26,27 @@ from ..utils.func import sampling_data, random_mask_square_instance
 from ..ops.segment import build_reverse_edge_table
 
 
-def default_buckets(max_n: int, min_bucket: int = 256) -> list:
-    """Power-of-two bucket sizes (multiples of 16) covering up to max_n."""
+def default_buckets(max_n: int, min_bucket: int = 256,
+                    growth: float = 2.0, n_multiple: int = 16) -> list:
+    """Geometric bucket sizes (multiples of ``n_multiple``) covering max_n.
+
+    ``growth`` trades padding waste against compiled-shape count: each bucket
+    is one more train-step compile (served by the persistent XLA cache after
+    the first run), and mean padding waste within a bucket is roughly
+    (growth - 1) / 2. The top bucket is clamped to the dataset's own max bag
+    size rounded up (a bag of 3400 patches pads to 3408, not 4096).
+    ``n_multiple`` is 16 (the 4x4 region-pool requirement) times the
+    instance-parallel device count, so every padded N stays evenly shardable
+    over the 'inst' mesh axis.
+    """
+    m = max(16, int(n_multiple))
+    top = -(-int(max_n) // m) * m
     sizes = []
-    b = min_bucket
-    while b < max_n:
+    b = -(-int(min_bucket) // m) * m
+    while b < top:
         sizes.append(b)
-        b *= 2
-    sizes.append(b)
+        b = max(b + m, -(-int(b * growth) // m) * m)
+    sizes.append(top)
     return sizes
 
 
@@ -279,7 +292,8 @@ class BucketBatcher:
                  max_batch: int = 64, min_bucket: int = 256,
                  edges_per_node: int = 9, batch_multiple: int = 1,
                  scatter_free: str = "auto", banded: str = "auto",
-                 grid_max_inflation: float = 3.0):
+                 grid_max_inflation: float = 3.0,
+                 bucket_growth: float = 2.0, n_multiple: int = 16):
         self.ds = dataset
         self.token_budget = token_budget
         self.max_batch = max_batch
@@ -306,7 +320,9 @@ class BucketBatcher:
         self._rev_slots = 0
         self._rev_disabled = False
         sizes = dataset.bag_sizes()
-        self.buckets = default_buckets(int(sizes.max()), min_bucket)
+        self.buckets = default_buckets(int(sizes.max()), min_bucket,
+                                       growth=bucket_growth,
+                                       n_multiple=n_multiple)
         self.item_bucket = np.searchsorted(self.buckets, sizes)
         self._by_bucket: dict = {}
         for i, b in enumerate(self.item_bucket):

@@ -113,6 +113,11 @@ class HandlerCommon:
                           token_budget=self.cfg["batch_token_budget"],
                           max_batch=self.cfg["batch_max_size"],
                           min_bucket=self.cfg["bucket_min"],
+                          bucket_growth=float(
+                              self.cfg.get("bucket_growth", 2.0) or 2.0),
+                          # padded N must stay shardable over the inst axis
+                          n_multiple=16 * int(
+                              self.cfg.get("inst_devices", 1) or 1),
                           batch_multiple=multiple,
                           edges_per_node=int(self.cfg.get("graph_edges_per_node", 9)),
                           # reverse tables only pay off in the backward pass

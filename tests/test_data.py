@@ -84,6 +84,25 @@ class TestBuckets:
         assert b[0] == 256 and b[-1] >= 5000
         assert all(x % 16 == 0 for x in b)
 
+    def test_top_bucket_clamped_to_dataset_max(self):
+        # a 3400-patch max bag pads to 3408, not the next power of two
+        b = default_buckets(3400, 256)
+        assert b == [256, 512, 1024, 2048, 3408]
+
+    def test_bucket_growth_grain(self):
+        fine = default_buckets(5000, 256, growth=1.5)
+        coarse = default_buckets(5000, 256, growth=2.0)
+        assert len(fine) > len(coarse)
+        assert fine[-1] == coarse[-1] == 5008
+        assert all(x % 16 == 0 for x in fine)
+        assert all(x < y for x, y in zip(fine, fine[1:]))
+
+    def test_bucket_n_multiple_for_inst_sharding(self):
+        # inst_devices=8 -> every padded N divisible by 128
+        b = default_buckets(3400, 256, growth=1.5, n_multiple=128)
+        assert all(x % 128 == 0 for x in b)
+        assert b[-1] >= 3400
+
     def test_batches_cover_dataset_exactly_once(self, tmp_path):
         paths = make_synthetic_dataset(str(tmp_path), n_patients=17, dim=32,
                                        min_regions=2, max_regions=40, seed=4)
