@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import (DenseInit, GatedAttention, GAPool,
+from .layers import (DenseInit, Dropout, GatedAttention, GAPool,
                      TransformerEncoderLayer, make_dense, make_embedding_layer,
                      compute_dtype)
 from ..ops.masked import masked_softmax, region_mask_from_patch_mask
@@ -42,7 +42,7 @@ class ABMIL(nn.Module):
         dim_in, dim_hid, dim_out = self.dims
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="attn_fc")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
                                 dense_init=self.dense_init, name="gate")(
             h, deterministic=deterministic)           # [B, N, 1]
@@ -50,7 +50,7 @@ class ABMIL(nn.Module):
         pooled = jnp.einsum("bn,bnd->bd", attn, h)
         out = make_dense(dim_out, self.dense_init, in_features=dim_hid, name="rho")(pooled)
         out = nn.relu(out)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
 
@@ -93,7 +93,7 @@ class DeepAttnMISL(nn.Module):
         # gated attention pool over the K cluster embeddings (all valid)
         h = make_dense(dim_hid, self.dense_init, in_features=dim_hid, name="attn_fc")(h_cluster)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         scores = GatedAttention(dim_hid, dim_hid, dropout=self.dropout,
                                 dense_init=self.dense_init, name="gate")(
             h, deterministic=deterministic)
@@ -198,7 +198,7 @@ class DeepGCNBlock(nn.Module):
         h = nn.LayerNorm(dtype=compute_dtype(), name="norm")(h)
         h = nn.relu(h)
         h = x + h
-        h = nn.Dropout(self.dropout)(h, deterministic=self.det)
+        h = Dropout(self.dropout)(h, deterministic=self.det)
         return h
 
 
@@ -245,7 +245,7 @@ class PatchGCN(nn.Module):
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
 
         # first layer applies the bare conv (reference model/backbone.py:157)
         conv0 = GENConv(dim_hid, dense_init=self.dense_init,
@@ -267,7 +267,7 @@ class PatchGCN(nn.Module):
                             in_features=dim_hid * (1 + self.num_layers),
                             name="path_phi")(h_path)
         h_path = nn.relu(h_path)
-        h_path = nn.Dropout(self.dropout)(h_path, deterministic=deterministic)
+        h_path = Dropout(self.dropout)(h_path, deterministic=deterministic)
         scores = GatedAttention(dim_out, dim_out, dropout=self.dropout,
                                 dense_init=self.dense_init, name="gate")(
             h_path, deterministic=deterministic)

@@ -94,6 +94,70 @@ def inst_mesh():
     return _INST_MESH
 
 
+# ---------------------------------------------------------------------------
+# Dropout with u8 mask bits under the rbg PRNG regime
+# ---------------------------------------------------------------------------
+
+def _rbg_bits(rng) -> bool:
+    """True when `rng` draws bits from the rbg-family hardware generator.
+
+    Typed keys carry their own impl; raw uint32 keys are consumed under the
+    jax_default_prng_impl in force at trace time (what apply_rng_impl set)."""
+    try:
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            return "rbg" in str(jax.random.key_impl(rng))
+    except Exception:
+        pass
+    return "rbg" in str(jax.config.jax_default_prng_impl)
+
+
+_DROPOUT_U8 = True  # A/B switch for scripts/bench_dropout_bits.py
+
+
+def set_dropout_u8(enabled: bool):
+    global _DROPOUT_U8
+    _DROPOUT_U8 = bool(enabled)
+
+
+def mask_dropout(rng, rate: float, x):
+    """Dropout core: zero each element with probability ~rate, scale the rest.
+
+    Under an rbg-family key the mask bits are drawn as uint8: the rbg HLO op
+    (rng-bit-generator) is not fusible, so every dropout mask round-trips its
+    raw bits through HBM, and jax.random.bernoulli draws uint32 per element —
+    uint8 cuts that traffic 4x at every dropout site of this bandwidth-bound
+    workload. The drop probability quantizes to round(rate*256)/256 — within
+    1/512 of nominal, exact for the shipped 0.25/0.6 rates — and the inverse
+    scale uses the QUANTIZED rate so E[out] == x exactly. Threefry keys keep
+    flax's exact bernoulli masks: the regime all recorded parity artifacts
+    (PARITY.md/GOLDEN.md) were trained in stays bitwise-reproducible.
+    """
+    thresh = int(round(rate * 256))  # drop when bits < thresh
+    if 0 < thresh < 256 and _DROPOUT_U8 and _rbg_bits(rng):
+        rate_q = thresh / 256.0
+        bits = jax.random.bits(rng, x.shape, jnp.uint8)
+        keep = bits >= jnp.uint8(thresh)
+        return jnp.where(keep, x / jnp.asarray(1.0 - rate_q, x.dtype),
+                         jnp.zeros((), x.dtype))
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+class Dropout(nn.Module):
+    """nn.Dropout drop-in routing through mask_dropout (u8 bits under rbg)."""
+    rate: float
+    rng_collection: str = "dropout"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        return mask_dropout(self.make_rng(self.rng_collection), self.rate, x)
+
+
 def make_dense(features: int, dense_init: str = DenseInit.XAVIER, use_bias: bool = True,
                name: str | None = None, in_features: int | None = None) -> nn.Dense:
     dt = compute_dtype()
@@ -132,7 +196,7 @@ class MLPBlock(nn.Module):
         if self.layer_norm:
             x = nn.LayerNorm(dtype=compute_dtype())(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -147,7 +211,7 @@ class BottleneckMLP(nn.Module):
     def __call__(self, x, *, deterministic: bool):
         h = make_dense(self.dim // 2, self.dense_init, in_features=self.dim)(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         h = make_dense(self.dim, self.dense_init, in_features=self.dim // 2)(h)
         return h
 
@@ -175,8 +239,8 @@ class GatedAttention(nn.Module):
         b = nn.sigmoid(make_dense(self.dim_d, self.dense_init, in_features=self.dim_l,
                                   name="attention_b")(x))
         if self.dropout:
-            a = nn.Dropout(0.25)(a, deterministic=deterministic)
-            b = nn.Dropout(0.25)(b, deterministic=deterministic)
+            a = Dropout(0.25)(a, deterministic=deterministic)
+            b = Dropout(0.25)(b, deterministic=deterministic)
         scores = make_dense(self.n_classes, self.dense_init, in_features=self.dim_d,
                             name="attention_c")(a * b)
         return scores
@@ -197,10 +261,10 @@ class GAPool(nn.Module):
     def __call__(self, x, mask, *, deterministic: bool):
         emb = jnp.tanh(make_dense(self.hid_dim, self.dense_init, in_features=self.in_dim,
                                   name="fc1")(x))
-        emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
+        emb = Dropout(self.dropout)(emb, deterministic=deterministic)
         scr = nn.sigmoid(make_dense(self.hid_dim, self.dense_init, in_features=self.in_dim,
                                     name="score")(x))
-        scr = nn.Dropout(self.dropout)(scr, deterministic=deterministic)
+        scr = Dropout(self.dropout)(scr, deterministic=deterministic)
         rep = make_dense(1, self.dense_init, in_features=self.hid_dim, name="fc2")(emb * scr)
         attn = masked_softmax(rep[..., 0], mask, axis=-1)  # [B, N]
         return jnp.einsum("bn,bnd->bd", attn, x)
@@ -371,7 +435,7 @@ class NoisePerturbationLayer(nn.Module):
         h = make_dense(self.in_channels, self.dense_init,
                        in_features=2 * self.in_channels)(data)
         h = nn.LayerNorm(dtype=compute_dtype())(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic=deterministic)
         return h
 
 
@@ -412,13 +476,13 @@ class TransformerEncoderLayer(nn.Module):
                            flash_min_len=self.flash_min_len)
         attn = attn.reshape(B, L, D)
         attn = make_dense(D, self.dense_init, in_features=D, name="out_proj")(attn)
-        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = x + Dropout(self.dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=compute_dtype(), name="norm1")(x)
         ff = make_dense(self.dim_feedforward, self.dense_init, in_features=D, name="linear1")(x)
         ff = nn.relu(ff)
-        ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        ff = Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = make_dense(D, self.dense_init, in_features=self.dim_feedforward, name="linear2")(ff)
-        x = x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+        x = x + Dropout(self.dropout)(ff, deterministic=deterministic)
         x = nn.LayerNorm(dtype=compute_dtype(), name="norm2")(x)
         # zero out padded positions so downstream pools see clean zeros
         return x * mask[..., None].astype(x.dtype)
@@ -471,9 +535,7 @@ def _masked_mha(q, k, v, mask, dropout, deterministic, module: nn.Module,
     # fully-masked queries would softmax over all -inf -> uniform garbage;
     # their outputs are zeroed by the caller via the mask
     if dropout and not deterministic:
-        rng = module.make_rng("dropout")
-        keep = jax.random.bernoulli(rng, 1.0 - dropout, probs.shape)
-        probs = probs * keep / (1.0 - dropout)
+        probs = mask_dropout(module.make_rng("dropout"), dropout, probs)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 

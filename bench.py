@@ -385,7 +385,7 @@ def _tissue_slides(batch_b: int, gw: int = 72, seed: int = 7):
 
 
 def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
-                            seed: int = 7):
+                            seed: int = 7, slides=None):
     """REAL tool-built graphs -> both table regimes the batcher can ship.
 
     Runs advmil_tpu.tools.build_graphs.build_graph (exact spatial kNN) over
@@ -400,7 +400,10 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
                                         build_reverse_edge_table, grid_layout)
     from advmil_tpu.tools.build_graphs import build_graph
 
-    slides = _tissue_slides(batch_b, gw, seed)
+    if slides is None:
+        slides = _tissue_slides(batch_b, gw, seed)
+    else:
+        batch_b = len(slides)
     per = []
     for coords in slides:
         n = len(coords)
@@ -517,6 +520,83 @@ def bench_graph_toolbuilt(batch_b: int = 8) -> dict:
     }
 
 
+def bench_graph_toolbuilt_bucketed(n_slides: int = 16, batch_b: int = 8) -> dict:
+    """Bucketed padding on real tool-built tissue graphs.
+
+    Real training ships size-sorted same-bucket batches (BucketBatcher,
+    data/bags.py: top bucket clamped to the dataset max since round 4);
+    the standing toolbuilt line pads every slide in a mixed batch to the
+    batch max. This line measures that difference on the SAME n_slides
+    slides through the grid-raster banded path (the shipped default):
+      bucketed = size-sorted halves, each padded to its own bucket_n/grid_n
+                 (one compile per bucket, as in training);
+      mixed    = arrival-order halves, both padded to the global max
+                 (one compile, the no-bucketing regime).
+    Throughput = n_slides bags / summed per-step time across the batches."""
+    slides = _tissue_slides(n_slides)
+    order = sorted(range(n_slides), key=lambda i: len(slides[i]))
+    groups = [[slides[i] for i in order[:batch_b]],
+              [slides[i] for i in order[batch_b:]]]
+
+    # mixed regime: ONE table build over all slides -> shared shapes; then
+    # split the stacked arrays into two B=batch_b batches
+    mixed_all, _, mstats = toolbuilt_graph_batches(n_slides, slides=slides)
+    mixed_batches = [{k: v[j * batch_b:(j + 1) * batch_b]
+                      for k, v in mixed_all.items()} for j in range(2)]
+    step, state, batch0, _, _ = build_step("graph", mstats["bucket_n"],
+                                           batch_b, graph_batch=mixed_batches[0])
+    compiled, _, _ = compile_and_flops(step, state, batch0)
+    # build_step injects graph tables into its returned batch; build the
+    # second batch the same way (same shapes -> same executable)
+    _, _, batch1, _, _ = build_step("graph", mstats["bucket_n"], batch_b,
+                                    graph_batch=mixed_batches[1])
+    batches = [batch0, batch1]
+
+    def run(st, b):
+        return compiled(st, b)
+
+    chain_time(run, state, batches, 2)
+    mixed_per_pair = 2 * marginal_per_step(
+        lambda n: chain_time(run, state, batches, n), CHAIN_SHORT, CHAIN_LONG)
+
+    bucketed_per_pair = 0.0
+    binfo = []
+    for g in groups:
+        gb, _, gstats = toolbuilt_graph_batches(batch_b, slides=g)
+        gstep, gstate, gbatch, _, _ = build_step("graph", gstats["bucket_n"],
+                                                 batch_b, graph_batch=gb)
+        gcompiled, _, _ = compile_and_flops(gstep, gstate, gbatch)
+
+        def grun(st, b, _c=gcompiled):
+            return _c(st, b)
+
+        chain_time(grun, gstate, [gbatch], 2)
+        bucketed_per_pair += marginal_per_step(
+            lambda n: chain_time(grun, gstate, [gbatch], n),
+            CHAIN_SHORT, CHAIN_LONG)
+        binfo.append({"bucket_n": gstats["bucket_n"],
+                      "grid_n": gstats["grid_n"],
+                      "inflation": gstats["inflation"]})
+
+    v = round(n_slides / bucketed_per_pair, 2)
+    mixed_v = round(n_slides / mixed_per_pair, 2)
+    return {
+        "metric": "gansurv_graph_toolbuilt_bucketed_throughput",
+        "value": v,
+        "unit": "bags/sec/chip",
+        "vs_baseline": round(v / REF_2XV100_BAGS_PER_SEC_ESTIMATE, 3),
+        "anchor": ANCHOR,
+        "batch": batch_b,
+        "n_slides": n_slides,
+        "graphs": "tool-built",
+        "buckets": binfo,
+        "mixed_bags_per_sec": mixed_v,
+        "mixed_bucket_n": mstats["bucket_n"],
+        "mixed_grid_n": mstats["grid_n"],
+        "bucketed_speedup_vs_mixed": round(v / mixed_v, 3),
+    }
+
+
 def bench_eval(batch_n: int, batch_b: int, n_samples: int = 30) -> dict:
     """Serving path: test-time K-sample median prediction (reference
     model/model_handler.py:624-641 loops 30 full forwards per bag; here the
@@ -576,6 +656,8 @@ def main():
     results.append(bench_mode("graph", BAG_N, 8))
     print(json.dumps(results[-1]), flush=True)
     results.append(bench_graph_toolbuilt())
+    print(json.dumps(results[-1]), flush=True)
+    results.append(bench_graph_toolbuilt_bucketed())
     print(json.dumps(results[-1]), flush=True)
     results.append(bench_mixed_buckets())
     print(json.dumps(results[-1]), flush=True)

@@ -449,3 +449,52 @@ def test_discriminator_pair_call_matches_two_single_calls():
                         jax.tree_util.tree_leaves(gt)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestMaskDropout:
+    """Dropout drop-in (models/layers.py): u8 mask bits under rbg keys,
+    bitwise nn.Dropout parity under threefry keys."""
+
+    def test_threefry_matches_flax_dropout_bitwise(self):
+        import flax.linen as nn
+        from advmil_tpu.models.layers import Dropout
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 33, 17)),
+                        jnp.float32)
+        rng = jax.random.key(7, impl="threefry2x32")
+        ours = Dropout(0.37).apply({}, x, deterministic=False,
+                                   rngs={"dropout": rng})
+        ref = nn.Dropout(0.37, deterministic=False).apply(
+            {}, x, rngs={"dropout": rng})
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+    def test_rbg_u8_path_statistics_and_scaling(self):
+        from advmil_tpu.models.layers import Dropout
+        rate = 0.25  # thresh 64 -> quantized rate exactly 0.25
+        x = jnp.ones((256, 256), jnp.float32)
+        rng = jax.random.key(3, impl="rbg")
+        out = np.asarray(Dropout(rate).apply({}, x, deterministic=False,
+                                             rngs={"dropout": rng}))
+        kept = out != 0.0
+        # kept elements are scaled by exactly 1/(1-rate_q)
+        np.testing.assert_allclose(out[kept], 1.0 / (1.0 - rate), rtol=1e-6)
+        # drop fraction within 4 sigma of the quantized rate
+        n = out.size
+        assert abs((~kept).mean() - rate) < 4 * np.sqrt(rate * (1 - rate) / n)
+        # unbiased: E[out] == 1
+        assert abs(out.mean() - 1.0) < 0.02
+
+    def test_rbg_unrepresentable_rate_falls_back_exact(self):
+        # rate 1/1000 rounds to thresh 0 -> must NOT become a no-drop u8 mask
+        from advmil_tpu.models.layers import mask_dropout
+        x = jnp.ones((512, 512), jnp.float32)
+        rng = jax.random.key(5, impl="rbg")
+        out = np.asarray(mask_dropout(rng, 0.001, x))
+        frac = (out == 0.0).mean()
+        assert 0.0 < frac < 0.003
+
+    def test_deterministic_identity(self):
+        from advmil_tpu.models.layers import Dropout
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 8)),
+                        jnp.float32)
+        out = Dropout(0.5).apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
