@@ -37,12 +37,15 @@ def default_buckets(max_n: int, min_bucket: int = 256,
     size rounded up (a bag of 3400 patches pads to 3408, not 4096).
     ``n_multiple`` is 16 (the 4x4 region-pool requirement) times the
     instance-parallel device count, so every padded N stays evenly shardable
-    over the 'inst' mesh axis.
+    over the 'inst' mesh axis. ``min_bucket`` stays a floor: datasets whose
+    largest bag is below it get the single [min_bucket] shape (stable across
+    folds) rather than a per-fold max-sized one.
     """
     m = max(16, int(n_multiple))
-    top = -(-int(max_n) // m) * m
+    floor = -(-int(min_bucket) // m) * m
+    top = max(-(-int(max_n) // m) * m, floor)
     sizes = []
-    b = -(-int(min_bucket) // m) * m
+    b = floor
     while b < top:
         sizes.append(b)
         b = max(b + m, -(-int(b * growth) // m) * m)

@@ -102,12 +102,15 @@ def _rbg_bits(rng) -> bool:
     """True when `rng` draws bits from the rbg-family hardware generator.
 
     Typed keys carry their own impl; raw uint32 keys are consumed under the
-    jax_default_prng_impl in force at trace time (what apply_rng_impl set)."""
+    jax_default_prng_impl in force at trace time (what apply_rng_impl set).
+    A typed key's impl lookup is authoritative — if it ever raises we fail
+    loudly rather than misrouting a pinned threefry key to the u8 path."""
     try:
-        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
-            return "rbg" in str(jax.random.key_impl(rng))
+        typed = jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
     except Exception:
-        pass
+        typed = False
+    if typed:
+        return "rbg" in str(jax.random.key_impl(rng))
     return "rbg" in str(jax.config.jax_default_prng_impl)
 
 
@@ -127,8 +130,9 @@ def mask_dropout(rng, rate: float, x):
     raw bits through HBM, and jax.random.bernoulli draws uint32 per element —
     uint8 cuts that traffic 4x at every dropout site of this bandwidth-bound
     workload. The drop probability quantizes to round(rate*256)/256 — within
-    1/512 of nominal, exact for the shipped 0.25/0.6 rates — and the inverse
-    scale uses the QUANTIZED rate so E[out] == x exactly. Threefry keys keep
+    1/512 of nominal (exact for 0.25; 0.6 becomes 154/256 = 0.60156) — and
+    the inverse scale uses the QUANTIZED rate so E[out] == x exactly for the
+    rate actually applied. Threefry keys keep
     flax's exact bernoulli masks: the regime all recorded parity artifacts
     (PARITY.md/GOLDEN.md) were trained in stays bitwise-reproducible.
     """

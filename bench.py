@@ -385,7 +385,8 @@ def _tissue_slides(batch_b: int, gw: int = 72, seed: int = 7):
 
 
 def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
-                            seed: int = 7, slides=None):
+                            seed: int = 7, slides=None,
+                            with_gather: bool = True):
     """REAL tool-built graphs -> both table regimes the batcher can ship.
 
     Runs advmil_tpu.tools.build_graphs.build_graph (exact spatial kNN) over
@@ -454,19 +455,21 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
                      ("band_usrc", us), ("band_uemask", ue),
                      ("band_gidx", gfull)]:
             grid.setdefault(k, []).append(v)
-        # gather-fallback regime: compact dense + reverse tables
-        esrc_c = np.zeros((bucket_n, epn), np.int32)
-        em_c = np.zeros((bucket_n, epn), np.float32)
-        esrc_c[dst, pos] = src
-        em_c[dst, pos] = 1.0
-        ri, rmk = build_reverse_edge_table(esrc_c, em_c, k=16)
-        for k, v in [("edge_src", esrc_c), ("edge_mask", em_c),
-                     ("rev_idx", ri), ("rev_mask", rmk)]:
-            gather.setdefault(k, []).append(v)
+        if with_gather:
+            # gather-fallback regime: compact dense + reverse tables
+            esrc_c = np.zeros((bucket_n, epn), np.int32)
+            em_c = np.zeros((bucket_n, epn), np.float32)
+            esrc_c[dst, pos] = src
+            em_c[dst, pos] = 1.0
+            ri, rmk = build_reverse_edge_table(esrc_c, em_c, k=16)
+            for k, v in [("edge_src", esrc_c), ("edge_mask", em_c),
+                         ("rev_idx", ri), ("rev_mask", rmk)]:
+                gather.setdefault(k, []).append(v)
     grid = {k: np.stack(v) for k, v in grid.items()}
-    gather = {k: np.stack(v) for k, v in gather.items()}
+    gather = {k: np.stack(v) for k, v in gather.items()} if with_gather else None
     grid["mask"] = mask
-    gather["mask"] = mask
+    if with_gather:
+        gather["mask"] = mask
     stats = {"coverage": round(cov_edges / max(cov_total, 1), 3),
              "inflation": round(grid_n * batch_b / node_sum, 2),
              "bucket_n": bucket_n, "grid_n": grid_n,
@@ -533,6 +536,8 @@ def bench_graph_toolbuilt_bucketed(n_slides: int = 16, batch_b: int = 8) -> dict
       mixed    = arrival-order halves, both padded to the global max
                  (one compile, the no-bucketing regime).
     Throughput = n_slides bags / summed per-step time across the batches."""
+    assert n_slides == 2 * batch_b, \
+        "bucketed arm splits n_slides into exactly two B=batch_b batches"
     slides = _tissue_slides(n_slides)
     order = sorted(range(n_slides), key=lambda i: len(slides[i]))
     groups = [[slides[i] for i in order[:batch_b]],
@@ -540,7 +545,8 @@ def bench_graph_toolbuilt_bucketed(n_slides: int = 16, batch_b: int = 8) -> dict
 
     # mixed regime: ONE table build over all slides -> shared shapes; then
     # split the stacked arrays into two B=batch_b batches
-    mixed_all, _, mstats = toolbuilt_graph_batches(n_slides, slides=slides)
+    mixed_all, _, mstats = toolbuilt_graph_batches(n_slides, slides=slides,
+                                                   with_gather=False)
     mixed_batches = [{k: v[j * batch_b:(j + 1) * batch_b]
                       for k, v in mixed_all.items()} for j in range(2)]
     step, state, batch0, _, _ = build_step("graph", mstats["bucket_n"],
@@ -562,7 +568,8 @@ def bench_graph_toolbuilt_bucketed(n_slides: int = 16, batch_b: int = 8) -> dict
     bucketed_per_pair = 0.0
     binfo = []
     for g in groups:
-        gb, _, gstats = toolbuilt_graph_batches(batch_b, slides=g)
+        gb, _, gstats = toolbuilt_graph_batches(batch_b, slides=g,
+                                                with_gather=False)
         gstep, gstate, gbatch, _, _ = build_step("graph", gstats["bucket_n"],
                                                  batch_b, graph_batch=gb)
         gcompiled, _, _ = compile_and_flops(gstep, gstate, gbatch)

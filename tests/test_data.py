@@ -97,6 +97,12 @@ class TestBuckets:
         assert all(x % 16 == 0 for x in fine)
         assert all(x < y for x, y in zip(fine, fine[1:]))
 
+    def test_min_bucket_floor_kept_for_small_datasets(self):
+        # a dataset whose largest bag is below bucket_min keeps the single
+        # [min_bucket] shape, stable across folds, instead of a per-fold max
+        assert default_buckets(120, 256) == [256]
+        assert default_buckets(250, 256, n_multiple=128) == [256]
+
     def test_bucket_n_multiple_for_inst_sharding(self):
         # inst_devices=8 -> every padded N divisible by 128
         b = default_buckets(3400, 256, growth=1.5, n_multiple=128)
