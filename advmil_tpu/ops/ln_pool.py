@@ -40,7 +40,19 @@ LN_EPS = 1e-6    # flax LayerNorm default
 _BLK_BUDGET = BLK_ROWS * 384
 
 
+_BLK_OVERRIDE = None  # scripts/bench_lnpool.py block-size sweep hook
+
+
+def set_lnpool_block_rows(rows):
+    """Override the per-grid-step row-block size (None = auto). Rows are
+    clamped to a multiple of 16; used by the kernel block-size sweep."""
+    global _BLK_OVERRIDE
+    _BLK_OVERRIDE = None if rows is None else max(S2, int(rows) // S2 * S2)
+
+
 def _blk_rows(D: int) -> int:
+    if _BLK_OVERRIDE is not None:
+        return _BLK_OVERRIDE
     return max(S2, min(BLK_ROWS, (_BLK_BUDGET // D) // S2 * S2))
 
 

@@ -76,6 +76,15 @@ def main():
             print(f"{name:14s} {dt * 1e3:7.3f} ms "
                   f"({gb / dt:6.0f} GB/s per h-pass)")
 
+        if "--sweep" in sys.argv:
+            from advmil_tpu.ops.ln_pool import set_lnpool_block_rows
+            for rows in (256, 512, 1024, 2048, 4096):
+                set_lnpool_block_rows(rows)
+                dt = timed(mk_train(ln_relu_region_mean), h0)
+                print(f"pallas train blk={rows:5d} {dt * 1e3:7.3f} ms "
+                      f"({gb / dt:6.0f} GB/s per h-pass)")
+            set_lnpool_block_rows(None)
+
 
 if __name__ == "__main__":
     main()

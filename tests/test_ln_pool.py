@@ -191,3 +191,25 @@ def test_lnpool_falls_back_on_odd_dims():
         assert np.isfinite(np.asarray(out)).all()
     finally:
         att.pallas_available = orig
+
+
+def test_block_rows_override_is_equivalent():
+    """set_lnpool_block_rows changes tiling only, never values (sweep hook)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from advmil_tpu.ops.ln_pool import (ln_relu_region_mean,
+                                        set_lnpool_block_rows)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.standard_normal((1024, 128)), jnp.float32)
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(128), jnp.float32)
+    bi = jnp.asarray(0.1 * rng.standard_normal(128), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        base = ln_relu_region_mean(h, sc, bi)
+        try:
+            for rows in (256, 2048):  # smaller and larger than M
+                set_lnpool_block_rows(rows)
+                np.testing.assert_allclose(
+                    np.asarray(ln_relu_region_mean(h, sc, bi)),
+                    np.asarray(base), rtol=1e-6, atol=1e-6)
+        finally:
+            set_lnpool_block_rows(None)
