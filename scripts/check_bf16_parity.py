@@ -83,9 +83,25 @@ def main():
     args = ap.parse_args()
 
     from advmil_tpu.data.synthetic import make_synthetic_dataset
-    paths = make_synthetic_dataset(
-        os.path.join(args.workdir, "data"), n_patients=120, dim=1024,
-        min_regions=4, max_regions=64, seed=7)
+    root = os.path.join(args.workdir, "data")
+    if os.path.exists(os.path.join(root, "labels.csv")):
+        # Reuse a dataset already generated with THESE exact args (every arm
+        # builds the identical seed-7 dataset; generation is minutes of
+        # host-side kNN-graph building). Delete the workdir to force a rebuild.
+        print(f"[bf16check] reusing existing dataset under {root}")
+        paths = {
+            "path_patch": os.path.join(root, "feats"),
+            "path_label": os.path.join(root, "labels.csv"),
+            "path_cluster": os.path.join(root, "clusters"),
+            "path_graph": os.path.join(root, "graphs"),
+            "path_coordx5": os.path.join(root, "coords"),
+            "feat_format": "npy",
+            "data_split_path": os.path.join(root, "split-fold{}.npz"),
+        }
+    else:
+        paths = make_synthetic_dataset(
+            root, n_patients=120, dim=1024,
+            min_regions=4, max_regions=64, seed=7)
 
     deltas = []
     print(f"\narm: bcb={args.bcb} task={args.task} epochs={args.epochs}")
