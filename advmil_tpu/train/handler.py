@@ -309,6 +309,16 @@ class AdvHandler(HandlerCommon):
                                "labeled_train", val_loaders=val_loaders,
                                val_name="validation", early_stop=False,
                                run_name="pretrain")
+            # Reference evaluates the pretraining phase on its LAST checkpoint
+            # and writes 'pretrain'-named metrics/prediction artifacts
+            # (model/model_handler.py:730-733, _eval_all(ckpt_type='last',
+            # run_name='pretrain')).
+            pre_evals = {
+                "labeled_train": (labeled_set, self._batcher(labeled_set)),
+                "unlabeled_train": (unlabeled_set,
+                                    self._batcher(unlabeled_set))}
+            pre_evals.update(val_loaders)
+            self._eval_all(pre_evals, ckpt_type="last", run_name="pretrain")
         else:
             print("[exec_semi_sl] NOTE: skipped the first supervised phase.")
 

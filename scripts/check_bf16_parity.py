@@ -1,21 +1,27 @@
-"""bf16-vs-f32 validation-accuracy spot check (VERDICT r2 #9, r3 #7).
+"""Shipped-regime vs parity-regime validation-accuracy check (VERDICT r4 #1).
 
-The shipped adversarial configs default to `precision: bf16` (matching every
-published bench number) while the end-to-end accuracy-parity runs
-(PARITY.md) are CPU/f32. This script closes the loop: train the adversarial
-handler twice on the same synthetic dataset + seed — once bf16, once f32 —
-on the real TPU, and report the best-val/test C-indices side by side.
+Every published bench number runs the SHIPPED default regime:
+``precision: bf16`` + ``rng_impl: rbg`` (TPU hardware RNG + uint8-quantized
+dropout bits, models/layers.py) + the pair-batched D phase. Every recorded
+accuracy artifact (PARITY.md / GOLDEN.md / GRAPHPARITY.md) runs the PARITY
+regime: ``f32`` + ``threefry`` (bitwise-reproducible). This script closes the
+loop: train the adversarial handler twice on the same synthetic dataset +
+seed — once per regime — on the real TPU, and report the best-val/test
+C-indices side by side.
 
-Round 4 broadened the sweep beyond ESAT/cont (VERDICT r3 #7): --bcb selects
-the backbone (patch/cluster/graph/abmil), --task selects cont_gansurv or
-disc_gansurv (quantile labels + event-as-censorship mask), and --seeds takes
-a list; the summary reports per-seed deltas and the across-seed median.
+Arms (VERDICT r4 #1): {cont, disc} x {patch, cluster, graph}, >=5 seeds.
+``--matrix`` runs the full grid serially and appends one JSON line per
+completed (arm, seed) to ``<workdir>/matrix.jsonl`` so an interrupted run
+resumes where it left off.
 
-Usage: python scripts/check_bf16_parity.py [--epochs 10] [--seeds 42 43 ...]
-                                           [--bcb patch] [--task cont]
-Writes a small markdown table to stdout; run serially (one TPU proc).
+Usage:
+  python scripts/check_bf16_parity.py --matrix --seeds 42 43 44 45 46
+  python scripts/check_bf16_parity.py --bcb graph --task disc --seeds 42
+
+Run serially (one TPU proc).
 """
 import argparse
+import json
 import os
 import sys
 
@@ -25,15 +31,25 @@ if os.environ.get("ADVMIL_FORCE_CPU") == "1":  # same escape hatch as main.py
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# regime -> (precision, rng_impl). "shipped" is the config users run
+# (config.py DEFAULTS); "parity" is the regime of every recorded accuracy
+# artifact. rng_impl: rbg also switches dropout-bit drawing to uint8
+# (models/layers.py), so the pair captures the whole shipped stack.
+REGIMES = {
+    "shipped": ("bf16", "rbg"),
+    "parity": ("f32", "threefry"),
+}
 
-def run(precision: str, paths, seed: int, epochs: int, outdir: str,
+
+def run(regime: str, paths, seed: int, epochs: int, outdir: str,
         bcb: str = "patch", task: str = "cont"):
     from advmil_tpu.config import with_defaults
     from advmil_tpu.train.handler import AdvHandler
 
+    precision, rng_impl = REGIMES[regime]
     cfg = with_defaults({
         "task": "cont_gansurv", "seed": seed,
-        "save_path": os.path.join(outdir, f"{bcb}-{task}-{seed}-{precision}"),
+        "save_path": os.path.join(outdir, f"{bcb}-{task}-{seed}-{regime}"),
         "dataset": "synthetic",
         "path_patch": paths["path_patch"], "path_graph": paths["path_graph"],
         "path_cluster": paths["path_cluster"], "path_coordx5": None,
@@ -62,6 +78,7 @@ def run(precision: str, paths, seed: int, epochs: int, outdir: str,
         "times_test_sample": 30, "semi_training": False,
         "semi_training_mode": "none",
         "precision": precision,
+        "rng_impl": rng_impl,
         "bcb_mode": bcb,
     })
     if task == "disc":
@@ -72,24 +89,16 @@ def run(precision: str, paths, seed: int, epochs: int, outdir: str,
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--seeds", type=int, nargs="+", default=[42])
-    ap.add_argument("--bcb", default="patch",
-                    choices=["patch", "cluster", "graph", "abmil"])
-    ap.add_argument("--task", default="cont", choices=["cont", "disc"])
-    ap.add_argument("--workdir", default="/tmp/bf16check")
-    args = ap.parse_args()
-
+def get_paths(workdir: str):
     from advmil_tpu.data.synthetic import make_synthetic_dataset
-    root = os.path.join(args.workdir, "data")
-    if os.path.exists(os.path.join(root, "labels.csv")):
-        # Reuse a dataset already generated with THESE exact args (every arm
-        # builds the identical seed-7 dataset; generation is minutes of
-        # host-side kNN-graph building). Delete the workdir to force a rebuild.
+    root = os.path.join(workdir, "data")
+    # Gate reuse on the LAST-written artifact (split file), not labels.csv:
+    # an interrupted generation that wrote labels.csv but not the split would
+    # otherwise pass the check forever and crash every later run (ADVICE r4).
+    if (os.path.exists(os.path.join(root, "split-fold0.npz"))
+            and os.path.exists(os.path.join(root, "labels.csv"))):
         print(f"[bf16check] reusing existing dataset under {root}")
-        paths = {
+        return {
             "path_patch": os.path.join(root, "feats"),
             "path_label": os.path.join(root, "labels.csv"),
             "path_cluster": os.path.join(root, "clusters"),
@@ -98,31 +107,99 @@ def main():
             "feat_format": "npy",
             "data_split_path": os.path.join(root, "split-fold{}.npz"),
         }
-    else:
-        paths = make_synthetic_dataset(
-            root, n_patients=120, dim=1024,
-            min_regions=4, max_regions=64, seed=7)
+    return make_synthetic_dataset(
+        root, n_patients=120, dim=1024,
+        min_regions=4, max_regions=64, seed=7)
+
+
+def run_pair(paths, args, bcb, task, seed):
+    rows = {}
+    for regime in ("shipped", "parity"):
+        rows[regime] = run(regime, paths, seed, args.epochs,
+                           args.workdir, bcb, task)
+    return {
+        "bcb": bcb, "task": task, "seed": seed, "epochs": args.epochs,
+        "shipped_val": rows["shipped"]["validation"]["cindex"],
+        "parity_val": rows["parity"]["validation"]["cindex"],
+        "shipped_test": rows["shipped"]["test"]["cindex"],
+        "parity_test": rows["parity"]["test"]["cindex"],
+        "dval": (rows["shipped"]["validation"]["cindex"]
+                 - rows["parity"]["validation"]["cindex"]),
+    }
+
+
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[42])
+    ap.add_argument("--bcb", default="patch",
+                    choices=["patch", "cluster", "graph", "abmil"])
+    ap.add_argument("--task", default="cont", choices=["cont", "disc"])
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full {cont,disc}x{patch,cluster,graph} "
+                         "grid; resumable via matrix.jsonl")
+    ap.add_argument("--workdir", default="/tmp/bf16check")
+    args = ap.parse_args()
+
+    paths = get_paths(args.workdir)
+
+    if args.matrix:
+        arms = [(bcb, task) for task in ("cont", "disc")
+                for bcb in ("patch", "cluster", "graph")]
+        log = os.path.join(args.workdir, "matrix.jsonl")
+        done = set()
+        if os.path.exists(log):
+            with open(log) as f:
+                for line in f:
+                    r = json.loads(line)
+                    done.add((r["bcb"], r["task"], r["seed"]))
+            print(f"[bf16check] resuming: {len(done)} (arm,seed) pairs done")
+        for bcb, task in arms:
+            for seed in args.seeds:
+                if (bcb, task, seed) in done:
+                    continue
+                rec = run_pair(paths, args, bcb, task, seed)
+                with open(log, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(f"[bf16check] {bcb}/{task} seed={seed} "
+                      f"shipped={rec['shipped_val']:.4f} "
+                      f"parity={rec['parity_val']:.4f} "
+                      f"dval={rec['dval']:+.4f}", flush=True)
+        # summary table
+        with open(log) as f:
+            recs = [json.loads(line) for line in f]
+        print("\n| arm | seeds | median Δval (shipped − parity) |")
+        print("|---|---|---|")
+        for bcb, task in arms:
+            ds = [r["dval"] for r in recs
+                  if r["bcb"] == bcb and r["task"] == task]
+            if ds:
+                print(f"| {bcb}/{task} | {len(ds)} | {median(ds):+.4f} |")
+        all_ds = [r["dval"] for r in recs]
+        print(f"\noverall median Δval over {len(all_ds)} pairs = "
+              f"{median(all_ds):+.4f}")
+        return
 
     deltas = []
     print(f"\narm: bcb={args.bcb} task={args.task} epochs={args.epochs}")
-    print("\n| seed | bf16 val | f32 val | Δval | bf16 test | f32 test |")
+    print("\n| seed | shipped val | parity val | Δval "
+          "| shipped test | parity test |")
     print("|---|---|---|---|---|---|")
     for seed in args.seeds:
-        rows = {}
-        for precision in ("bf16", "f32"):
-            rows[precision] = run(precision, paths, seed, args.epochs,
-                                  args.workdir, args.bcb, args.task)
-        dv = (rows["bf16"]["validation"]["cindex"]
-              - rows["f32"]["validation"]["cindex"])
-        deltas.append(dv)
-        print(f"| {seed} | {rows['bf16']['validation']['cindex']:.4f} "
-              f"| {rows['f32']['validation']['cindex']:.4f} | {dv:+.4f} "
-              f"| {rows['bf16']['test']['cindex']:.4f} "
-              f"| {rows['f32']['test']['cindex']:.4f} |", flush=True)
-    deltas.sort()
-    med = deltas[len(deltas) // 2] if len(deltas) % 2 else \
-        0.5 * (deltas[len(deltas) // 2 - 1] + deltas[len(deltas) // 2])
-    print(f"\nmedian Δval (bf16 − f32) over {len(deltas)} seeds = {med:+.4f}")
+        rec = run_pair(paths, args, args.bcb, args.task, seed)
+        deltas.append(rec["dval"])
+        print(f"| {seed} | {rec['shipped_val']:.4f} "
+              f"| {rec['parity_val']:.4f} | {rec['dval']:+.4f} "
+              f"| {rec['shipped_test']:.4f} "
+              f"| {rec['parity_test']:.4f} |", flush=True)
+    print(f"\nmedian Δval (shipped − parity) over {len(deltas)} seeds = "
+          f"{median(deltas):+.4f}")
 
 
 if __name__ == "__main__":

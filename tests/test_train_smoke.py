@@ -225,14 +225,28 @@ def test_baseline_grad_accum_refregime(synth, tmp_path):
 def test_adv_semi_supervised_with_pretrain_phase(synth, tmp_path):
     # the optional supervised first phase (reference exec_semi_sl has it
     # built but skipped by default — model_handler.py:723); ssl_first_phase
-    # turns it on here
+    # turns it on here. The reference then evaluates the phase on its LAST
+    # checkpoint and writes 'pretrain'-named metrics/prediction artifacts
+    # (model_handler.py:730-733) — assert those exist and parse.
     from advmil_tpu.train.handler import AdvHandler
+    from advmil_tpu.utils.func import add_prefix_to_filename
     cfg = base_cfg(synth, tmp_path, semi_training=True,
                    semi_training_mode="LD", ssl_epochs=2, ssl_first_phase=True,
                    epochs=2)
     handler = AdvHandler(cfg)
     metrics = handler.exec_semi_sl()
     assert "validation" in metrics
+    pre_path = add_prefix_to_filename(handler.metrics_paths["last"],
+                                      "pretrain")
+    assert osp.exists(pre_path), pre_path
+    text = open(pre_path).read()
+    for split in ("labeled_train", "unlabeled_train", "validation", "test"):
+        assert split in text, f"pretrain metrics missing split {split}"
+    # prediction CSVs for the pretrain eval (save_prediction path)
+    import pandas as pd
+    pred = osp.join(handler.save_dir, "pretrain_last_pred_validation.csv")
+    assert osp.exists(pred), pred
+    assert len(pd.read_csv(pred)) > 0
 
 
 def test_model_stats_surface():
