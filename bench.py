@@ -17,11 +17,16 @@ async-dispatch runtimes where block_until_ready can return early.
 The LAST line printed is the driver headline:
 {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline anchor (VERDICT r1 #8): the reference publishes no throughput
-numbers (BASELINE.md) and its 2xV100 hardware is unavailable here, so the
-ratio is against a documented ESTIMATE of the reference's eager B=1 pipeline
-on its own hardware (~100 bags/sec, kernel-launch bound); every line carries
-`"anchor": "estimate"` to say so. For a MEASURED (much weaker, CPU) reference
+vs_baseline anchor (VERDICT r1 #8, derived r5): the reference publishes no
+throughput numbers (BASELINE.md) and its 2xV100 hardware is unavailable
+here, so the ratio is against a DERIVED estimate of the reference's eager
+B=1 pipeline on its own hardware: ~100 bags/sec, from the launch-bound band
+36-145 bags/s measured on the reference's own hot loop (1,379 ATen
+dispatches/bag x 5-20 us eager overhead; compute bound is 3x higher, so
+launches dominate — scripts/derive_anchor.py, BASELINE.md "Deriving the
+throughput anchor"). 100 sits in the band's upper half, making every
+vs_baseline multiple conservative by ~1.4x vs the central estimate. Every
+line carries `"anchor": "estimate"`. For a MEASURED (much weaker, CPU)
 anchor see scripts/bench_reference_cpu.py and BENCHNOTES.md.
 """
 import json
