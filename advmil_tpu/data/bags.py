@@ -303,7 +303,8 @@ class BucketBatcher:
         self.min_bucket = min_bucket
         self.edges_per_node = edges_per_node
         self.batch_multiple = batch_multiple  # e.g. the DP device count
-        self.prefetch_depth = 2  # set from cfg num_workers by the handlers
+        self.prefetch_depth = 2   # set from cfg num_workers by the handlers
+        self.prefetch_workers = 1  # loader threads; ditto
         self._warned_edge_truncation = False
         # per-bag edge/band/reverse tables, keyed by dataset index (graph
         # mode): static per bag, so computed once and reused every epoch.
@@ -561,9 +562,10 @@ class BucketBatcher:
             total += (len(items) + bb - 1) // bb
         return total
 
-    def epoch_batches(self, shuffle: bool = False,
-                      rng: np.random.Generator | None = None):
-        """Yield Batch objects covering the dataset once."""
+    def _epoch_chunks(self, shuffle: bool = False,
+                      rng: np.random.Generator | None = None) -> list:
+        """The epoch's (bucket, item-chunk) schedule — the deterministic
+        order both the serial and the threaded loaders follow."""
         order_by_bucket = {}
         for b, items in self._by_bucket.items():
             items = list(items)
@@ -578,19 +580,41 @@ class BucketBatcher:
                 chunks.append((b, items[s:s + bb]))
         if shuffle:
             (rng or np.random).shuffle(chunks)
-        for b, chunk in chunks:
+        return chunks
+
+    def epoch_batches(self, shuffle: bool = False,
+                      rng: np.random.Generator | None = None):
+        """Yield Batch objects covering the dataset once."""
+        for b, chunk in self._epoch_chunks(shuffle=shuffle, rng=rng):
             yield self._make_batch(self.buckets[b], chunk)
 
     def prefetch(self, shuffle: bool = False,
-                 rng: np.random.Generator | None = None, depth: int | None = None):
-        """Background-thread prefetching over epoch_batches: overlaps host-side
-        bag assembly/padding with device compute (the TPU-side analogue of the
-        reference's DataLoader(num_workers=8), reference
-        model/model_handler.py:158-172)."""
+                 rng: np.random.Generator | None = None,
+                 depth: int | None = None, workers: int | None = None):
+        """Prefetching over epoch_batches: overlaps host-side bag IO/assembly
+        with device compute (the TPU-side analogue of the reference's
+        DataLoader(num_workers=8), reference model/model_handler.py:158-172).
+
+        workers <= 1: one background thread runs the whole epoch serially.
+        workers > 1: a thread pool assembles up to `workers` batches
+        concurrently (plus `depth` queued ahead), yielding in the SAME
+        deterministic chunk order as the serial path — batch content is
+        identical, only wall-clock changes. Feature-file reads (np.load /
+        torch unpickling) release the GIL during IO, so threads overlap
+        disk reads with padding even on a single core; this is what feeds
+        a multi-k-bags/s device on a cold cache (BENCHNOTES host-pipeline
+        section). Falls back to serial when test-mode occlusion masking is
+        active (item assembly then draws from a shared np RNG whose order
+        must match the serial path)."""
         import queue
         import threading
         if depth is None:
             depth = max(2, self.prefetch_depth)
+        if workers is None:
+            workers = self.prefetch_workers
+        if workers > 1 and self.ds.ratio_mask is None:
+            yield from self._prefetch_pool(shuffle, rng, depth, workers)
+            return
         q: queue.Queue = queue.Queue(maxsize=depth)
         sentinel = object()
         error: list = []
@@ -614,6 +638,31 @@ class BucketBatcher:
         th.join()
         if error:
             raise error[0]
+
+    def _prefetch_pool(self, shuffle, rng, depth: int, workers: int):
+        """Thread-pool batch assembly, in-order yield. Safe because
+        _make_batch touches only per-index caches (dict writes are atomic
+        under the GIL; a rare duplicate load is benign) and the pre-scan
+        froze every padding decision before the first batch."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = self._epoch_chunks(shuffle=shuffle, rng=rng)
+        with ThreadPoolExecutor(max_workers=workers,
+                                thread_name_prefix="advmil-loader") as ex:
+            pending: deque = deque()
+            it = iter(chunks)
+            for b, chunk in it:
+                pending.append(
+                    ex.submit(self._make_batch, self.buckets[b], chunk))
+                if len(pending) >= workers + depth:
+                    break
+            for b, chunk in it:
+                yield pending.popleft().result()
+                pending.append(
+                    ex.submit(self._make_batch, self.buckets[b], chunk))
+            while pending:
+                yield pending.popleft().result()
 
     def _make_batch(self, bucket_n: int, item_ids: list) -> Batch:
         bb = self.batch_size_for(bucket_n)

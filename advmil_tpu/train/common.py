@@ -126,7 +126,12 @@ class HandlerCommon:
                           banded=self.cfg.get("graph_banded", "auto"),
                           grid_max_inflation=float(
                               self.cfg.get("graph_grid_max_inflation", 3.0)))
-        b.prefetch_depth = max(2, int(self.cfg.get("num_workers", 0) or 0))
+        nw = int(self.cfg.get("num_workers", 0) or 0)
+        b.prefetch_depth = max(2, nw)
+        # num_workers > 1 also engages the thread-pool loader (the
+        # reference's DataLoader(num_workers=8) analogue; batch content is
+        # order-identical to the serial path)
+        b.prefetch_workers = max(1, nw)
         return b
 
     # -- host -> device shipping --

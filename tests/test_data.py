@@ -178,6 +178,34 @@ class TestBuckets:
         for batch in b2.epoch_batches():
             assert "rev_idx" not in batch.extra
 
+    def test_threaded_prefetch_matches_serial(self, tmp_path):
+        # workers > 1 (the DataLoader(num_workers=8) analogue) must yield
+        # byte-identical batches in the SAME order as the serial path —
+        # threading changes wall-clock only
+        paths = make_synthetic_dataset(str(tmp_path), n_patients=17, dim=32,
+                                       min_regions=2, max_regions=40, seed=4)
+        for mode in ("abmil", "graph"):
+            ds = BagDataset(paths["pids"], paths["path_patch"],
+                            paths["path_label"], mode, read_format="npy",
+                            time_format="ratio",
+                            graph_path=paths["path_graph"])
+            batcher = BucketBatcher(ds, token_budget=2048, min_bucket=64)
+            serial = list(batcher.prefetch(shuffle=True,
+                                           rng=np.random.default_rng(7),
+                                           workers=1))
+            pooled = list(batcher.prefetch(shuffle=True,
+                                           rng=np.random.default_rng(7),
+                                           workers=4))
+            assert len(serial) == len(pooled) > 1
+            for s, p in zip(serial, pooled):
+                np.testing.assert_array_equal(s.idx, p.idx)
+                np.testing.assert_array_equal(s.feats, p.feats)
+                np.testing.assert_array_equal(s.mask, p.mask)
+                np.testing.assert_array_equal(s.sample_mask, p.sample_mask)
+                assert sorted(s.extra) == sorted(p.extra)
+                for k in s.extra:
+                    np.testing.assert_array_equal(s.extra[k], p.extra[k])
+
     def test_labels_match_dataset(self, tmp_path):
         paths = make_synthetic_dataset(str(tmp_path), n_patients=8, dim=16,
                                        min_regions=2, max_regions=4, seed=5)
