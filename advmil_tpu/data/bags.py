@@ -527,6 +527,13 @@ class BucketBatcher:
             gfull = np.full(bucket_n, grid_n, np.int32)  # sentinel: dropped
             gfull[:n] = gidx
             tabs["band_gidx"] = gfull
+            # inverse map (grid cell -> patch row, sentinel bucket_n for
+            # tissue-free cells): gidx is a bijection on the valid entries,
+            # so shipping both directions makes the model's grid placement
+            # and its VJP pure gathers (ops/segment.grid_place/grid_take)
+            ginv = np.full(grid_n, bucket_n, np.int32)
+            ginv[gidx] = np.arange(n, dtype=np.int32)
+            tabs["band_ginv"] = ginv
         elif self._band_on:
             from ..ops.segment import build_band_tables
             o, bmk, rn, rs, rm = build_band_tables(
@@ -707,7 +714,7 @@ class BucketBatcher:
                         else self._band_u_slots):
                     keys += ["band_urows", "band_usrc", "band_uemask"]
                 if self._grid_on:
-                    keys.append("band_gidx")
+                    keys += ["band_gidx", "band_ginv"]
             else:
                 # node-bucketed DENSE edge layout: per destination node, up
                 # to `edges_per_node` incoming source indices. kNN graphs

@@ -27,6 +27,7 @@ from ..ops.attention import pallas_available
 from ..ops.banded_pallas import pallas_banded_aggregate
 from ..ops.segment import (banded_knn_softmax_aggregate,
                            fused_knn_softmax_aggregate, gather_rows_rev,
+                           grid_place, grid_take,
                            knn_edge_softmax_aggregate)
 from ..ops.pe import compute_pe
 
@@ -128,16 +129,23 @@ class GENConv(nn.Module):
         if band is not None:
             y = xr + self.eps
             gidx = band.get("gidx")
+            ginv = band.get("ginv")
             if gidx is not None:
                 # grid-raster banding (real tissue graphs): band tables live
                 # in the slide's bounding-box grid layout, where every grid
-                # neighbor is a constant offset. Monotone scatter in, banded
-                # aggregate, monotone gather back; padded bag rows carry the
-                # out-of-range sentinel and are dropped / zeroed.
+                # neighbor is a constant offset. Placement in/out of grid
+                # space rides the batcher-shipped bijection (gidx + its
+                # inverse ginv) through the scatter-free custom-VJP pair
+                # grid_place/grid_take (round 5); without ginv (older
+                # tables) it falls back to the XLA scatter. Padded bag rows
+                # carry the out-of-range sentinel and are dropped / zeroed.
                 n_grid = band["mask"].shape[0]
-                valid = gidx < n_grid
-                y_agg = jnp.zeros((n_grid, y.shape[1]), y.dtype
-                                  ).at[gidx].set(y, mode="drop")
+                if ginv is not None:
+                    y_agg = grid_place(y, gidx, ginv)
+                else:
+                    valid = gidx < n_grid
+                    y_agg = jnp.zeros((n_grid, y.shape[1]), y.dtype
+                                      ).at[gidx].set(y, mode="drop")
             else:
                 y_agg = y
             if "u_rows" in band and self.use_pallas and pallas_available():
@@ -151,8 +159,11 @@ class GENConv(nn.Module):
                     y_agg, band["offs"], band["mask"], band["res_node"],
                     band["res_src"], band["res_mask"], t[0])
             if gidx is not None:
-                safe = jnp.minimum(gidx, n_grid - 1)
-                aggr = jnp.where(valid[:, None], aggr[safe], 0.0)
+                if ginv is not None:
+                    aggr = grid_take(aggr, gidx, ginv)
+                else:
+                    safe = jnp.minimum(gidx, n_grid - 1)
+                    aggr = jnp.where(valid[:, None], aggr[safe], 0.0)
         else:
             if rev_idx is not None:
                 msg = gather_rows_rev(xr, edge_src, rev_idx, rev_mask) + self.eps
@@ -242,6 +253,8 @@ class PatchGCN(nn.Module):
                             u_emask=extra["band_uemask"])
             if extra.get("band_gidx") is not None:
                 band["gidx"] = extra["band_gidx"]
+                if extra.get("band_ginv") is not None:
+                    band["ginv"] = extra["band_ginv"]
 
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)

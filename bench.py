@@ -455,10 +455,12 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
         ur, us, ue = build_u_tables(esrc_g, em_g, eb, u_slots=u_slots)
         gfull = np.full(bucket_n, grid_n, np.int32)
         gfull[:n] = gidx
+        ginv = np.full(grid_n, bucket_n, np.int32)
+        ginv[gidx] = np.arange(n, dtype=np.int32)
         for k, v in [("band_offs", o), ("band_mask", bmk), ("res_node", rn),
                      ("res_src", rs), ("res_mask", rm), ("band_urows", ur),
                      ("band_usrc", us), ("band_uemask", ue),
-                     ("band_gidx", gfull)]:
+                     ("band_gidx", gfull), ("band_ginv", ginv)]:
             grid.setdefault(k, []).append(v)
         if with_gather:
             # gather-fallback regime: compact dense + reverse tables

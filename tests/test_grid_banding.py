@@ -185,6 +185,51 @@ def test_grid_band_path_equals_compact_oracle(use_kernel):
                                atol=1e-5)
 
 
+def test_grid_place_take_match_scatter_values_and_grads():
+    """The scatter-free custom-VJP bijection pair (round 5) must equal the
+    XLA scatter/gather formulation in values AND gradients, including both
+    sentinel kinds (padded bag rows with gidx >= G; tissue-free grid cells
+    with ginv >= N)."""
+    from advmil_tpu.ops.segment import grid_place, grid_take
+
+    rng = np.random.default_rng(11)
+    G, n, n_pad, C = 37, 21, 26, 8
+    cells = rng.permutation(G)[:n].astype(np.int32)
+    gidx = np.full(n_pad, G, np.int32)
+    gidx[:n] = cells
+    ginv = np.full(G, n_pad, np.int32)
+    ginv[cells] = np.arange(n, dtype=np.int32)
+    y = jnp.asarray(rng.normal(size=(n_pad, C)), jnp.float32)
+    wg = jnp.asarray(rng.normal(size=(G, C)), jnp.float32)
+    wn = jnp.asarray(rng.normal(size=(n_pad, C)), jnp.float32)
+    agg = jnp.asarray(rng.normal(size=(G, C)), jnp.float32)
+    jg, ji = jnp.asarray(gidx), jnp.asarray(ginv)
+
+    def place_scatter(y):
+        return jnp.zeros((G, C), y.dtype).at[jg].set(y, mode="drop")
+
+    def take_gather(a):
+        return jnp.where((jg < G)[:, None], a[jnp.minimum(jg, G - 1)], 0.0)
+
+    np.testing.assert_allclose(np.asarray(grid_place(y, jg, ji)),
+                               np.asarray(place_scatter(y)), atol=0)
+    np.testing.assert_allclose(np.asarray(grid_take(agg, jg, ji)),
+                               np.asarray(take_gather(agg)), atol=0)
+    g_new = jax.grad(lambda y: jnp.sum(grid_place(y, jg, ji) * wg))(y)
+    g_old = jax.grad(lambda y: jnp.sum(place_scatter(y) * wg))(y)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_old), atol=0)
+    t_new = jax.grad(lambda a: jnp.sum(grid_take(a, jg, ji) * wn))(agg)
+    t_old = jax.grad(lambda a: jnp.sum(take_gather(a) * wn))(agg)
+    np.testing.assert_allclose(np.asarray(t_new), np.asarray(t_old), atol=0)
+    # vmap (the batch path in _vmap_graph) composes with the custom VJP
+    yb = jnp.stack([y, y * 2])
+    gb = jnp.stack([jg, jg])
+    ib = jnp.stack([ji, ji])
+    vb = jax.vmap(grid_place)(yb, gb, ib)
+    np.testing.assert_allclose(np.asarray(vb[1]),
+                               np.asarray(place_scatter(y * 2)), atol=0)
+
+
 def test_genconv_grid_band_dict_matches_edge_path():
     """GENConv fed the grid band dict (rolls path on CPU) == GENConv fed the
     compact dense edge table, including padded bag rows (sentinel gidx)."""
