@@ -229,7 +229,7 @@ class BagDataset:
         lacks centroids or is not grid-regular (the batcher then keeps the
         compact gather paths).
         """
-        from ..ops.segment import grid_layout
+        from ..ops.segment import crop_empty_grid_lines, grid_layout
         pid = self.pids[index]
         rcs, row_off, wmax = [], 0, 0
         for sid in self.pid2sid[pid]:
@@ -246,7 +246,10 @@ class BagDataset:
             if gl is None:
                 return None
             gidx, W, H = gl
-            rcs.append(np.stack([gidx // W + row_off, gidx % W], axis=1))
+            # round 5: crop fully-empty bounding-box rows/columns — kernel
+            # work scales with grid area, and tissue fills ~half the bbox
+            row, col, W, H = crop_empty_grid_lines(gidx, W)
+            rcs.append(np.stack([row + row_off, col], axis=1))
             row_off += H
             wmax = max(wmax, W)
         rc = np.concatenate(rcs, axis=0)
@@ -511,7 +514,7 @@ class BucketBatcher:
             gidx = (rc[:, 0] * W + rc[:, 1]).astype(np.int64)
             n = rc.shape[0]
             from ..ops.segment import build_band_tables_matched
-            from ..ops.banded_pallas import build_u_tables
+            from ..ops.banded_pallas import build_u_inv, build_u_tables
             esrc_g = np.zeros((grid_n, epn), np.int32)
             em_g = np.zeros((grid_n, epn), np.float32)
             esrc_g[gidx[dst[keep]], pos[keep]] = gidx[src[keep]]
@@ -523,7 +526,8 @@ class BucketBatcher:
             if self._grid_u_slots:
                 ur, us, ue = build_u_tables(esrc_g, em_g, ebanded,
                                             u_slots=self._grid_u_slots)
-                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue)
+                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue,
+                            band_uinv=build_u_inv(ur, grid_n))
             gfull = np.full(bucket_n, grid_n, np.int32)  # sentinel: dropped
             gfull[:n] = gidx
             tabs["band_gidx"] = gfull
@@ -541,10 +545,11 @@ class BucketBatcher:
             tabs.update(band_offs=o, band_mask=bmk, res_node=rn,
                         res_src=rs, res_mask=rm)
             if self._band_u_slots:
-                from ..ops.banded_pallas import build_u_tables
+                from ..ops.banded_pallas import build_u_inv, build_u_tables
                 ur, us, ue = build_u_tables(esrc, em, bmk,
                                             u_slots=self._band_u_slots)
-                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue)
+                tabs.update(band_urows=ur, band_usrc=us, band_uemask=ue,
+                            band_uinv=build_u_inv(ur, bucket_n))
         else:
             tabs.update(edge_src=esrc, edge_mask=em)
             if self.scatter_free != "off" and not self._rev_disabled:
@@ -712,7 +717,8 @@ class BucketBatcher:
                         "res_mask"]
                 if (self._grid_u_slots if self._grid_on
                         else self._band_u_slots):
-                    keys += ["band_urows", "band_usrc", "band_uemask"]
+                    keys += ["band_urows", "band_usrc", "band_uemask",
+                             "band_uinv"]
                 if self._grid_on:
                     keys += ["band_gidx", "band_ginv"]
             else:

@@ -153,7 +153,8 @@ class GENConv(nn.Module):
                 # (ops/banded_pallas.py) — zero HBM roll materialization
                 aggr = pallas_banded_aggregate(
                     y_agg, band["offs"], band["mask"], band["u_rows"],
-                    band["u_src"], band["u_emask"], t[0])
+                    band["u_src"], band["u_emask"], t[0],
+                    band.get("u_inv"))
             else:
                 aggr = banded_knn_softmax_aggregate(
                     y_agg, band["offs"], band["mask"], band["res_node"],
@@ -251,6 +252,8 @@ class PatchGCN(nn.Module):
                 band.update(u_rows=extra["band_urows"],
                             u_src=extra["band_usrc"],
                             u_emask=extra["band_uemask"])
+                if extra.get("band_uinv") is not None:
+                    band["u_inv"] = extra["band_uinv"]
             if extra.get("band_gidx") is not None:
                 band["gidx"] = extra["band_gidx"]
                 if extra.get("band_ginv") is not None:

@@ -277,9 +277,21 @@ def _exact_rows(y, u_src, u_emask, t):
     return knn_edge_softmax_aggregate(msg, u_emask, t)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _overwrite_u(out_b, out_u, u_rows, u_inv):
+    """Overwrite the residual-affected rows of the banded result with their
+    exact recomputation. With the batcher-shipped inverse map ``u_inv``
+    (u_inv[r] = slot of row r in u_rows, sentinel U elsewhere) this is a
+    pure gather + select; without it, the XLA scatter fallback."""
+    if u_inv is None:
+        return out_b.at[u_rows].set(out_u, mode="drop")
+    U = u_rows.shape[0]
+    sel = (u_inv < U)[:, None]
+    return jnp.where(sel, out_u[jnp.clip(u_inv, 0, U - 1)], out_b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def pallas_banded_aggregate(y, offs, band_mask, u_rows, u_src, u_emask, t,
-                            interpret=False):
+                            u_inv=None, interpret=False):
     """Banded softmax aggregation == knn_edge_softmax_aggregate on the full
     dense edge table, evaluated as (Pallas banded kernel) + (exact
     recomputation of the residual-affected rows, overwritten on top).
@@ -287,7 +299,9 @@ def pallas_banded_aggregate(y, offs, band_mask, u_rows, u_src, u_emask, t,
     y: [N, C] per-source messages (relu(x) + eps); offs: [epn] int32
     per-slot modal offsets; band_mask: [N, epn] 1 = edge present AND banded;
     u_rows: [U] int32 rows owning >=1 residual edge (sentinel >= N pads);
-    u_src / u_emask: [U, epn] those rows' full edge table slice; t: scalar.
+    u_src / u_emask: [U, epn] those rows' full edge table slice; t: scalar;
+    u_inv: optional [N] int32 inverse of u_rows (build_u_inv) — makes the
+    overwrite and its cotangent split scatter-free.
 
     Grad flows to y and t only (int tables and masks get zeros/float0 like
     the jnp banded path).
@@ -296,32 +310,38 @@ def pallas_banded_aggregate(y, offs, band_mask, u_rows, u_src, u_emask, t,
     N, C = y.shape
     out = out[:N, :C]
     out_u = _exact_rows(y, u_src, u_emask, t).astype(out.dtype)
-    return out.at[u_rows].set(out_u, mode="drop")
+    return _overwrite_u(out, out_u, u_rows, u_inv)
 
 
-def _pba_fwd(y, offs, band_mask, u_rows, u_src, u_emask, t, interpret):
+def _pba_fwd(y, offs, band_mask, u_rows, u_src, u_emask, t, u_inv,
+             interpret):
     (out, m, den), _ = _banded_core_fwd(y, offs, band_mask, t, True,
                                         interpret)
     N, C = y.shape
     out_b = out[:N, :C]
     out_u = _exact_rows(y, u_src, u_emask, t).astype(out_b.dtype)
-    full = out_b.at[u_rows].set(out_u, mode="drop")
+    full = _overwrite_u(out_b, out_u, u_rows, u_inv)
     # residuals: keep the PADDED banded stats (the bwd kernel re-pads
     # nothing), the padded banded out (pre-overwrite — the kernel backward
     # differentiates the banded function, whose cotangent at overwritten
     # rows is zeroed), and the small tables for the exact-row pullback.
     return full, (y, offs, band_mask, u_rows, u_src, u_emask,
-                  jnp.asarray(t), m, den, out)
+                  jnp.asarray(t), u_inv, m, den, out)
 
 
 def _pba_bwd(interpret, res, g):
-    (y, offs, band_mask, u_rows, u_src, u_emask, t, m, den, out_pad) = res
+    (y, offs, band_mask, u_rows, u_src, u_emask, t, u_inv, m, den,
+     out_pad) = res
     N, C = y.shape
     in_range = (u_rows >= 0) & (u_rows < N)
     # cotangent splits: overwritten rows belong to the exact part, the rest
-    # to the banded kernel
-    keep = jnp.ones((N,), g.dtype).at[u_rows].set(0.0, mode="drop")
-    g_b = g * keep[:, None]
+    # to the banded kernel (scatter-free select when u_inv is shipped)
+    if u_inv is None:
+        keep = jnp.ones((N,), g.dtype).at[u_rows].set(0.0, mode="drop")
+        g_b = g * keep[:, None]
+    else:
+        sel = (u_inv < u_rows.shape[0])[:, None]
+        g_b = jnp.where(sel, jnp.zeros((), g.dtype), g)
     dy_b, dt_b = _banded_core_bwd(y, offs, band_mask, t, m, den, out_pad,
                                   g_b, interpret)
     g_u = jnp.where(in_range[:, None], g[jnp.clip(u_rows, 0, N - 1)], 0.0)
@@ -330,9 +350,10 @@ def _pba_bwd(interpret, res, g):
     dy_u, dt_u = pullback(g_u.astype(y.dtype))
     f0 = lambda a: np.zeros(jnp.shape(a), jax.dtypes.float0)
     dt = (dt_b + dt_u.astype(jnp.float32)).astype(t.dtype).reshape(t.shape)
+    du_inv = None if u_inv is None else f0(u_inv)
     return ((dy_b + dy_u).astype(y.dtype), f0(offs),
             jnp.zeros_like(band_mask), f0(u_rows), f0(u_src),
-            jnp.zeros_like(u_emask), dt)
+            jnp.zeros_like(u_emask), dt, du_inv)
 
 
 pallas_banded_aggregate.defvjp(_pba_fwd, _pba_bwd)
@@ -363,3 +384,15 @@ def build_u_tables(edge_src: np.ndarray, edge_mask: np.ndarray,
     u_src[:U] = np.clip(edge_src[rows], 0, max(N - 1, 0))
     u_emask[:U] = edge_mask[rows]
     return u_rows, u_src, u_emask
+
+
+def build_u_inv(u_rows: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Inverse of u_rows: [N] int32, u_inv[r] = slot of row r in u_rows for
+    residual rows, sentinel U elsewhere. Host-precomputed (cached with the
+    other tables) so the wrapper's residual overwrite and cotangent split
+    become pure gathers/selects — no XLA scatter in the train step."""
+    U = int(u_rows.shape[0])
+    u_inv = np.full(n_nodes, U, np.int32)
+    valid = u_rows < n_nodes
+    u_inv[u_rows[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return u_inv

@@ -613,6 +613,25 @@ def _grid_take_bwd(res, g):
 grid_take.defvjp(_grid_take_fwd, _grid_take_bwd)
 
 
+def crop_empty_grid_lines(gidx: np.ndarray, W: int):
+    """Remove fully-empty rows/columns from a slide's bounding-box grid.
+
+    Tissue fills only ~half of its bounding box on real slides (measured
+    inflation 1.78, BENCHNOTES round 4), and the banded kernel's work
+    scales with grid AREA. Dropping grid rows/columns containing no tissue
+    is a pure relabeling of the SAME graph: cells that were raster-adjacent
+    stay adjacent (no empty line can separate cells at distance 1), so
+    banded edges keep their offsets, while edges that spanned removed empty
+    lines compress onto shorter offsets — band coverage can only grow.
+
+    Returns (row [N], col [N], W_cropped, H_cropped).
+    """
+    row, col = gidx // W, gidx % W
+    ur, uc = np.unique(row), np.unique(col)
+    return (np.searchsorted(ur, row), np.searchsorted(uc, col),
+            int(len(uc)), int(len(ur)))
+
+
 def grid_layout(coords: np.ndarray, tol: float = 0.25):
     """Snap WSI patch centroids to their extraction grid.
 

@@ -48,7 +48,7 @@ def _gen_extra(batch: dict, bcb_mode: str):
         for k in ("edge_src", "edge_mask", "rev_idx", "rev_mask",
                   "band_offs", "band_mask", "res_node", "res_src",
                   "res_mask", "band_urows", "band_usrc", "band_uemask",
-                  "band_gidx"):
+                  "band_uinv", "band_gidx"):
             if k in batch:
                 extra[k] = batch[k]
         return extra

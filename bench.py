@@ -104,7 +104,7 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         # banded streaming tables — what the BucketBatcher ships for these
         # graphs since round 3 (graph_banded: auto; wrap-around rows land
         # in the exact residual list)
-        from advmil_tpu.ops.banded_pallas import build_u_tables
+        from advmil_tpu.ops.banded_pallas import build_u_inv, build_u_tables
         o0, b0, rn0, rs0, rm0 = build_band_tables(src[0].astype(np.int32),
                                                   em[0])
         R = rn0.shape[0]
@@ -117,12 +117,14 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         urw = np.zeros((batch_b, U), np.int32)
         usr = np.zeros((batch_b, U, epn), np.int32)
         uem = np.zeros((batch_b, U, epn), np.float32)
+        uiv = np.zeros((batch_b, batch_n), np.int32)
         for j in range(batch_b):
             o, b_, n_, s_, m_ = build_band_tables(src[j].astype(np.int32),
                                                   em[j], res_slots=R)
             bo[j], bm[j], rn[j], rs[j], rmk[j] = o, b_, n_, s_, m_
             urw[j], usr[j], uem[j] = build_u_tables(
                 src[j].astype(np.int32), em[j], b_, u_slots=U)
+            uiv[j] = build_u_inv(urw[j], batch_n)
         batch["band_offs"] = jnp.asarray(bo)
         batch["band_mask"] = jnp.asarray(bm)
         batch["res_node"] = jnp.asarray(rn)
@@ -132,6 +134,7 @@ def build_step(mode: str, batch_n: int, batch_b: int, use_pallas: bool = True,
         batch["band_urows"] = jnp.asarray(urw)
         batch["band_usrc"] = jnp.asarray(usr)
         batch["band_uemask"] = jnp.asarray(uem)
+        batch["band_uinv"] = jnp.asarray(uiv)
         extra_init = {"edge_src": batch["edge_src"][:1],
                       "edge_mask": batch["edge_mask"][:1]}
         # the batcher no longer ships dense edge tables alongside band
@@ -391,7 +394,7 @@ def _tissue_slides(batch_b: int, gw: int = 72, seed: int = 7):
 
 def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
                             seed: int = 7, slides=None,
-                            with_gather: bool = True):
+                            with_gather: bool = True, crop: bool = True):
     """REAL tool-built graphs -> both table regimes the batcher can ship.
 
     Runs advmil_tpu.tools.build_graphs.build_graph (exact spatial kNN) over
@@ -401,7 +404,7 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
     it shipped before — so the bench measures the banded kernel's win on
     graphs with TRUE residual rows and band coverage, not the idealized
     wrap-around raster. Returns (grid_batch, gather_batch, stats)."""
-    from advmil_tpu.ops.banded_pallas import build_u_tables
+    from advmil_tpu.ops.banded_pallas import build_u_inv, build_u_tables
     from advmil_tpu.ops.segment import (build_band_tables_matched,
                                         build_reverse_edge_table, grid_layout)
     from advmil_tpu.tools.build_graphs import build_graph
@@ -422,6 +425,10 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
         pos = np.arange(len(dst)) - first
         keep = pos < epn
         gidx, W, H = grid_layout(coords)
+        if crop:  # the batcher's shipped layout since round 5
+            from advmil_tpu.ops.segment import crop_empty_grid_lines
+            row, col, W, H = crop_empty_grid_lines(gidx, W)
+            gidx = row.astype(np.int64) * W + col
         per.append((n, dst[keep], src[keep], pos[keep], gidx, W, H))
 
     bucket_n = -(-max(p[0] for p in per) // 128) * 128
@@ -460,6 +467,7 @@ def toolbuilt_graph_batches(batch_b: int, epn: int = 8, gw: int = 72,
         for k, v in [("band_offs", o), ("band_mask", bmk), ("res_node", rn),
                      ("res_src", rs), ("res_mask", rm), ("band_urows", ur),
                      ("band_usrc", us), ("band_uemask", ue),
+                     ("band_uinv", build_u_inv(ur, grid_n)),
                      ("band_gidx", gfull), ("band_ginv", ginv)]:
             grid.setdefault(k, []).append(v)
         if with_gather:

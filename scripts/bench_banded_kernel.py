@@ -20,7 +20,7 @@ import numpy as np
 
 from advmil_tpu.ops.segment import (banded_knn_softmax_aggregate,
                                     build_band_tables)
-from advmil_tpu.ops.banded_pallas import (build_u_tables,
+from advmil_tpu.ops.banded_pallas import (build_u_inv, build_u_tables,
                                           pallas_banded_aggregate)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 3392
@@ -77,10 +77,12 @@ def main():
                        )(y, a_offs, a_bm, a_rn, a_rs, a_rm)
         return out + y  # keep chain alive
 
+    a_ui = jb(build_u_inv(u_rows, N))
+
     def pallas_fwd(y):
-        out = jax.vmap(lambda yy, o, bm, ur, us, ue:
-                       pallas_banded_aggregate(yy, o, bm, ur, us, ue, t)
-                       )(y, a_offs, a_bm, a_ur, a_us, a_ue)
+        out = jax.vmap(lambda yy, o, bm, ur, us, ue, ui:
+                       pallas_banded_aggregate(yy, o, bm, ur, us, ue, t, ui)
+                       )(y, a_offs, a_bm, a_ur, a_us, a_ue, a_ui)
         return out + y
 
     def mk_train(fwd):

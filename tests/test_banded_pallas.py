@@ -9,10 +9,16 @@ import pytest
 
 from advmil_tpu.ops.segment import (band_coverage, build_band_tables,
                                     knn_edge_softmax_aggregate)
-from advmil_tpu.ops.banded_pallas import (build_u_tables,
+from advmil_tpu.ops.banded_pallas import (build_u_inv, build_u_tables,
                                           pallas_banded_aggregate)
 
 RNG = np.random.default_rng(7)
+
+
+def pba(y, args, t, u_inv=None, interpret=True):
+    """Interpret-mode call helper (keeps the positional interpret flag
+    straight now that u_inv sits between t and interpret)."""
+    return pallas_banded_aggregate(y, *args, t, u_inv, interpret)
 
 
 def raster_graph(N, W, epn=9, drop=0.03, irregular=0, rng=RNG):
@@ -46,7 +52,7 @@ def test_forward_matches_oracle(N, W, irregular):
     y = jnp.asarray(RNG.standard_normal((N, 132)), jnp.float32)
     t = jnp.float32(1.7)
     oracle = knn_edge_softmax_aggregate(y[esrc], jnp.asarray(em), t)
-    got = pallas_banded_aggregate(y, *args, t, True)
+    got = pba(y, args, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
                                atol=2e-5)
 
@@ -63,7 +69,7 @@ def test_grad_matches_oracle_autodiff():
             y[esrc], jnp.asarray(em), t)))
 
     def f_pallas(y, t):
-        return jnp.sum(jnp.sin(pallas_banded_aggregate(y, *args, t, True)))
+        return jnp.sum(jnp.sin(pba(y, args, t)))
 
     go = jax.grad(f_oracle, argnums=(0, 1))(y, t)
     gp = jax.grad(f_pallas, argnums=(0, 1))(y, t)
@@ -78,7 +84,7 @@ def test_vmap_batched():
     args = banded_args(esrc, em)
     t = jnp.float32(0.9)
     yb = jnp.asarray(RNG.standard_normal((3, N, 128)), jnp.float32)
-    outb = jax.vmap(lambda y: pallas_banded_aggregate(y, *args, t, True))(yb)
+    outb = jax.vmap(lambda y: pba(y, args, t))(yb)
     for b in range(3):
         oracle = knn_edge_softmax_aggregate(yb[b][esrc], jnp.asarray(em), t)
         np.testing.assert_allclose(np.asarray(outb[b]), np.asarray(oracle),
@@ -93,7 +99,7 @@ def test_zero_edge_rows_and_no_residuals():
     args = banded_args(esrc, em)
     assert int((np.asarray(args[2]) < N).sum()) <= 2 * (W + 2)
     y = jnp.asarray(RNG.standard_normal((N, 128)), jnp.float32)
-    out = pallas_banded_aggregate(y, *args, jnp.float32(1.0), True)
+    out = pba(y, args, jnp.float32(1.0))
     oracle = knn_edge_softmax_aggregate(y[esrc], jnp.asarray(em),
                                         jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
@@ -107,7 +113,7 @@ def test_bf16_inputs():
     args = banded_args(esrc, em)
     y = jnp.asarray(RNG.standard_normal((N, 128)), jnp.bfloat16)
     t = jnp.float32(1.0)
-    out = pallas_banded_aggregate(y, *args, t, True)
+    out = pba(y, args, t)
     assert out.dtype == jnp.bfloat16
     oracle = knn_edge_softmax_aggregate(
         y.astype(jnp.float32)[esrc], jnp.asarray(em), t)
@@ -137,9 +143,38 @@ def test_grad_ignores_sentinel_u_rows():
     t = jnp.float32(1.1)
 
     def f(u):
-        return jax.grad(lambda yy: jnp.sum(jnp.cos(pallas_banded_aggregate(
-            yy, jnp.asarray(offs), jnp.asarray(bmask),
-            *(jnp.asarray(a) for a in u), t, True))))(y)
+        return jax.grad(lambda yy: jnp.sum(jnp.cos(pba(
+            yy, (jnp.asarray(offs), jnp.asarray(bmask),
+                 *(jnp.asarray(a) for a in u)), t))))(y)
 
     np.testing.assert_allclose(np.asarray(f(u8)), np.asarray(f(u64)),
                                atol=1e-6)
+
+
+def test_u_inv_path_matches_scatter_path():
+    # the batcher-shipped inverse map must reproduce the scatter overwrite
+    # exactly — values, dy, and dt — including sentinel-padded u slots and
+    # under vmap (the shipped per-batch layout)
+    N, W, C = 300, 17, 64
+    esrc, em = raster_graph(N, W, irregular=25)
+    args = banded_args(esrc, em)
+    u_inv = jnp.asarray(build_u_inv(np.asarray(args[2]), N))
+    y = jnp.asarray(RNG.standard_normal((N, C)), jnp.float32)
+    t = jnp.float32(1.3)
+    np.testing.assert_array_equal(np.asarray(pba(y, args, t, u_inv)),
+                                  np.asarray(pba(y, args, t)))
+
+    def loss(u):
+        return lambda yy, tt: jnp.sum(jnp.sin(pba(yy, args, tt, u)))
+
+    g_inv = jax.grad(loss(u_inv), argnums=(0, 1))(y, t)
+    g_sc = jax.grad(loss(None), argnums=(0, 1))(y, t)
+    np.testing.assert_allclose(np.asarray(g_inv[0]), np.asarray(g_sc[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(g_inv[1]), float(g_sc[1]), rtol=1e-6)
+    yb = jnp.asarray(RNG.standard_normal((2, N, C)), jnp.float32)
+    ob = jax.vmap(lambda yy, u: pba(yy, args, t, u),
+                  in_axes=(0, None))(yb, u_inv)
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(ob[b]),
+                                      np.asarray(pba(yb[b], args, t)))

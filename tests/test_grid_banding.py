@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from advmil_tpu.models.backbones import GENConv
-from advmil_tpu.ops.banded_pallas import build_u_tables, pallas_banded_aggregate
+from advmil_tpu.ops.banded_pallas import (build_u_inv, build_u_tables,
+                                          pallas_banded_aggregate)
 from advmil_tpu.ops.segment import (banded_knn_softmax_aggregate,
                                     build_band_tables_matched, grid_layout,
                                     knn_edge_softmax_aggregate)
@@ -157,6 +158,7 @@ def test_grid_band_path_equals_compact_oracle(use_kernel):
     t = jnp.float32(0.9)
     if use_kernel:
         ur, us, ue = build_u_tables(esrc_g, em_g, ebanded)
+        uinv = build_u_inv(ur, grid_n)
 
     def grid_path(y, t):
         yg = jnp.zeros((grid_n, y.shape[1]), y.dtype
@@ -164,7 +166,8 @@ def test_grid_band_path_equals_compact_oracle(use_kernel):
         if use_kernel:
             ag = pallas_banded_aggregate(
                 yg, jnp.asarray(offs), jnp.asarray(bm), jnp.asarray(ur),
-                jnp.asarray(us), jnp.asarray(ue), t, True)
+                jnp.asarray(us), jnp.asarray(ue), t, jnp.asarray(uinv),
+                True)
         else:
             ag = banded_knn_softmax_aggregate(
                 yg, jnp.asarray(offs), jnp.asarray(bm), jnp.asarray(rn),
@@ -228,6 +231,66 @@ def test_grid_place_take_match_scatter_values_and_grads():
     vb = jax.vmap(grid_place)(yb, gb, ib)
     np.testing.assert_allclose(np.asarray(vb[1]),
                                np.asarray(place_scatter(y * 2)), atol=0)
+
+
+def test_crop_empty_grid_lines_exact_and_smaller():
+    """Cropping tissue-free bbox rows/columns (round 5) is a pure relabeling:
+    the banded path over the CROPPED layout still equals the dense oracle,
+    band coverage does not drop, and the grid area genuinely shrinks on a
+    two-blob slide with empty interior rows/columns."""
+    from advmil_tpu.ops.segment import crop_empty_grid_lines
+
+    rng = np.random.default_rng(9)
+    # two tissue blobs in opposite corners of a 30x30 bbox -> empty middle
+    cells = set()
+    for cy, cx in ((6, 6), (24, 24)):
+        for dy in range(-5, 6):
+            for dx in range(-5, 6):
+                if dy * dy + dx * dx <= 25:
+                    cells.add((cy + dy, cx + dx))
+    ys, xs = np.array(sorted(cells)).T
+    coords = np.stack([xs, ys], 1).astype(np.float32) * 256.0
+    n = len(coords)
+    from advmil_tpu.tools.build_graphs import build_graph
+    g = build_graph(coords, np.zeros((n, 4), np.float32), radius=9,
+                    use_device_for_feats=False)
+    ei = g["edge_index"]
+    order = np.argsort(ei[0], kind="stable")
+    dst, src = ei[0][order], ei[1][order]
+    first = np.searchsorted(dst, dst, side="left")
+    pos = np.arange(len(dst)) - first
+    keep = pos < 8
+    esrc = np.zeros((n, 8), np.int32)
+    em = np.zeros((n, 8), np.float32)
+    esrc[dst[keep], pos[keep]] = src[keep]
+    em[dst[keep], pos[keep]] = 1.0
+
+    gidx0, W0, H0 = grid_layout(coords)
+    row, col, Wc, Hc = crop_empty_grid_lines(np.asarray(gidx0), W0)
+    assert Wc * Hc < W0 * H0                       # area shrank
+    assert len(np.unique(row * Wc + col)) == n     # still a bijection
+
+    def tables(gidx, grid_n):
+        esrc_g = np.zeros((grid_n, 8), np.int32)
+        em_g = np.zeros((grid_n, 8), np.float32)
+        rows, slots = np.nonzero(em > 0)
+        esrc_g[gidx[rows], slots] = gidx[esrc[rows, slots]]
+        em_g[gidx[rows], slots] = 1.0
+        return build_band_tables_matched(esrc_g, em_g, k=8), em_g
+
+    (_, _, eb0, _, _, _), _ = tables(np.asarray(gidx0), W0 * H0)
+    gidx_c = row * Wc + col
+    (offs_c, bm, eb_c, rn, rs, rm), em_g = tables(gidx_c, Wc * Hc)
+    assert eb_c.sum() >= eb0.sum()                 # coverage did not drop
+    y = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    yg = jnp.zeros((Wc * Hc, 16), jnp.float32).at[jnp.asarray(gidx_c)].set(y)
+    ag = banded_knn_softmax_aggregate(
+        yg, jnp.asarray(offs_c), jnp.asarray(bm), jnp.asarray(rn),
+        jnp.asarray(rs), jnp.asarray(rm), jnp.float32(1.0))
+    got = np.asarray(ag)[gidx_c]
+    want = np.asarray(knn_edge_softmax_aggregate(
+        y[jnp.asarray(esrc)], jnp.asarray(em), jnp.float32(1.0)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_genconv_grid_band_dict_matches_edge_path():
