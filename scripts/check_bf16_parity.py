@@ -144,6 +144,12 @@ def main():
     ap.add_argument("--matrix", action="store_true",
                     help="run the full {cont,disc}x{patch,cluster,graph} "
                          "grid; resumable via matrix.jsonl")
+    ap.add_argument("--max-pairs", type=int, default=0,
+                    help="exit after N (arm,seed) pairs: one long-lived "
+                         "process accumulates ~5 GB of JAX/executable/bag "
+                         "cache per training run (a 30-pair matrix OOMs a "
+                         "125 GB host), so the matrix is driven as a shell "
+                         "loop of short-lived resuming processes")
     ap.add_argument("--workdir", default="/tmp/bf16check")
     args = ap.parse_args()
 
@@ -160,11 +166,17 @@ def main():
                     r = json.loads(line)
                     done.add((r["bcb"], r["task"], r["seed"]))
             print(f"[bf16check] resuming: {len(done)} (arm,seed) pairs done")
+        ran = 0
         for bcb, task in arms:
             for seed in args.seeds:
                 if (bcb, task, seed) in done:
                     continue
+                if args.max_pairs and ran >= args.max_pairs:
+                    print(f"[bf16check] --max-pairs {args.max_pairs} "
+                          f"reached; exiting for a fresh process")
+                    return
                 rec = run_pair(paths, args, bcb, task, seed)
+                ran += 1
                 with open(log, "a") as f:
                     f.write(json.dumps(rec) + "\n")
                 print(f"[bf16check] {bcb}/{task} seed={seed} "
