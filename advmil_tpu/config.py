@@ -105,11 +105,26 @@ def enable_compilation_cache(cfg: dict):
     if not path:
         return
     try:
+        import hashlib
+        import platform
+
         import jax
-        # scope by backend: an axon/TPU session also emits host-side CPU AOT
-        # helpers compiled on the remote machine, which must never be loaded
-        # by a plain CPU run on this host (mismatched machine features)
-        path = os.path.join(os.path.expanduser(path), jax.default_backend())
+        # scope by backend AND a host fingerprint: an axon/TPU session also
+        # emits host-side CPU AOT helpers compiled on the remote machine,
+        # and a cache directory restored onto a different host would
+        # otherwise serve AOT code built for another CPU — XLA only WARNS
+        # on the feature mismatch and loads it anyway (different scatter/
+        # gather lowerings change f32 accumulation order; worst case
+        # SIGILL), observed after a host migration in round 5
+        try:
+            with open("/proc/cpuinfo") as f:
+                info = [ln for ln in f if ln.startswith(("model name",
+                                                         "flags"))][:2]
+            fp = hashlib.sha256("".join(info).encode()).hexdigest()[:12]
+        except OSError:
+            fp = platform.machine() or "unknown"
+        path = os.path.join(os.path.expanduser(path),
+                            f"{jax.default_backend()}-{fp}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -355,7 +355,7 @@ class BucketBatcher:
         self._grid_res_slots = 0
         self._grid_u_slots = 0
         self._grid_rc: dict = {}        # bag index -> (rc [N,2], W, H)
-        self._bucket_grid_n: dict = {}  # bucket_n -> padded grid node count
+        self._groups: list | None = None  # lazy [(bucket_n, grid_n, items)]
         if dataset.mode == "graph" and (scatter_free != "off"
                                         or banded != "off"):
             from ..ops.segment import band_coverage
@@ -460,18 +460,16 @@ class BucketBatcher:
         if off_max <= 128:  # Pallas kernel 3-block window admissibility
             self._grid_u_slots = -(-max(u_max, 1) // 8) * 8
         self._rev_disabled = True
-        # per-bucket padded grid node count (static per compiled shape)
-        for b, items in self._by_bucket.items():
-            gmax = max(self._grid_rc[i][1] * self._grid_rc[i][2]
-                       for i in items)
-            self._bucket_grid_n[int(self.buckets[b])] = -(-gmax // 128) * 128
+        # padded grid node counts are per batch GROUP, not per node bucket:
+        # _groups_list subdivides each bucket on grid area (round 5)
         print(f"[batcher] grid-raster banded streaming ON: coverage "
               f"{cov:.3f}, inflation {inflation:.2f}, residual slots "
               f"{self._grid_res_slots}, residual rows "
               f"{self._grid_u_slots or 'n/a (rolls path)'}")
         return True
 
-    def _graph_tables(self, it: dict, bucket_n: int) -> dict:
+    def _graph_tables(self, it: dict, bucket_n: int,
+                      grid_n: int | None = None) -> dict:
         """Per-bag padded edge / band / reverse tables (graph mode).
 
         Pure function of the bag's static edge list and the pre-scan's
@@ -484,7 +482,8 @@ class BucketBatcher:
         idx = int(it["index"])
         if self._tab_cache is not None:
             cached = self._tab_cache.get(idx)
-            if cached is not None and cached["_bucket_n"] == bucket_n:
+            if (cached is not None and cached["_bucket_n"] == bucket_n
+                    and cached.get("_grid_n") == grid_n):
                 return cached
         epn = self.edges_per_node
         e = it["edge_index"]  # [2, E] rows (dst, src), dst-sorted
@@ -503,14 +502,13 @@ class BucketBatcher:
         em = np.zeros((bucket_n, epn), np.float32)
         esrc[dst[keep], pos[keep]] = src[keep]
         em[dst[keep], pos[keep]] = 1.0
-        tabs = {"_bucket_n": bucket_n}
+        tabs = {"_bucket_n": bucket_n, "_grid_n": grid_n}
         if self._grid_on:
             # grid-raster banding: rebuild the dense table in the slide's
             # bounding-box grid layout (constant neighbor offsets) and ship
             # offset-matched band tables + the tissue->grid index map
             rc, W, H = self._grid_rc[idx]
-            grid_n = self._bucket_grid_n[bucket_n]
-            assert W * H <= grid_n
+            assert grid_n is not None and W * H <= grid_n
             gidx = (rc[:, 0] * W + rc[:, 1]).astype(np.int64)
             n = rc.shape[0]
             from ..ops.segment import build_band_tables_matched
@@ -567,29 +565,79 @@ class BucketBatcher:
             bb = max(m, (bb // m) * m)  # divisible by the DP device count
         return bb
 
+    def _groups_list(self) -> list:
+        """The epoch's batch groups: [(bucket_n, grid_n, items)].
+
+        grid_n is None off the grid-raster path, and every node bucket is
+        one group. With grid-raster banding on, kernel work scales with the
+        padded grid AREA, not the node count — so each node bucket is
+        partitioned over its items sorted by grid area (a small exact DP)
+        to minimize  sum over groups of  ceil(m/bb)*bb*grid_n  plus half a
+        batch per group for the extra compiled shape. One sprawling slide
+        then pays for its own bounding box instead of setting grid_n for
+        every same-size bag (VERDICT r4 #2)."""
+        if self._groups is not None:
+            return self._groups
+        groups = []
+        for b in sorted(self._by_bucket):
+            items = self._by_bucket[b]
+            bn = int(self.buckets[b])
+            if not self._grid_on:
+                groups.append((bn, None, list(items)))
+                continue
+            area = {i: int(self._grid_rc[i][1]) * int(self._grid_rc[i][2])
+                    for i in items}
+            order = sorted(items, key=lambda i: (area[i], i))
+            bb = self.batch_size_for(bn)
+            m = len(order)
+            rup = lambda a: -(-max(a, 1) // 128) * 128  # noqa: E731
+
+            def seg_cost(s: int, e: int) -> float:  # items order[s:e]
+                n_batches = -(-(e - s) // bb)
+                gn = rup(area[order[e - 1]])
+                return (n_batches + 0.5) * bb * gn
+
+            best = [0.0] + [np.inf] * m   # best[e] = min cost of order[:e]
+            cut = [0] * (m + 1)
+            for e in range(1, m + 1):
+                for s in range(e):
+                    c = best[s] + seg_cost(s, e)
+                    if c < best[e]:
+                        best[e], cut[e] = c, s
+            bounds = []
+            e = m
+            while e > 0:
+                bounds.append((cut[e], e))
+                e = cut[e]
+            for s, e in reversed(bounds):
+                # restore ascending-index order inside the segment: the
+                # area sort exists only to define the segmentation, and a
+                # single-segment bucket must shuffle/batch exactly like the
+                # non-grid path (lockstep with the gather-oracle regime)
+                groups.append((bn, rup(area[order[e - 1]]),
+                               sorted(order[s:e])))
+        self._groups = groups
+        return groups
+
     def num_batches(self) -> int:
         total = 0
-        for b, items in self._by_bucket.items():
-            bb = self.batch_size_for(self.buckets[b])
+        for bn, _, items in self._groups_list():
+            bb = self.batch_size_for(bn)
             total += (len(items) + bb - 1) // bb
         return total
 
     def _epoch_chunks(self, shuffle: bool = False,
                       rng: np.random.Generator | None = None) -> list:
-        """The epoch's (bucket, item-chunk) schedule — the deterministic
+        """The epoch's (group, item-chunk) schedule — the deterministic
         order both the serial and the threaded loaders follow."""
-        order_by_bucket = {}
-        for b, items in self._by_bucket.items():
+        chunks = []
+        for gi, (bn, _, items) in enumerate(self._groups_list()):
             items = list(items)
             if shuffle:
                 (rng or np.random).shuffle(items)
-            order_by_bucket[b] = items
-        # interleave buckets in a deterministic (optionally shuffled) order
-        chunks = []
-        for b, items in order_by_bucket.items():
-            bb = self.batch_size_for(self.buckets[b])
+            bb = self.batch_size_for(bn)
             for s in range(0, len(items), bb):
-                chunks.append((b, items[s:s + bb]))
+                chunks.append((gi, items[s:s + bb]))
         if shuffle:
             (rng or np.random).shuffle(chunks)
         return chunks
@@ -597,8 +645,8 @@ class BucketBatcher:
     def epoch_batches(self, shuffle: bool = False,
                       rng: np.random.Generator | None = None):
         """Yield Batch objects covering the dataset once."""
-        for b, chunk in self._epoch_chunks(shuffle=shuffle, rng=rng):
-            yield self._make_batch(self.buckets[b], chunk)
+        for gi, chunk in self._epoch_chunks(shuffle=shuffle, rng=rng):
+            yield self._make_batch(gi, chunk)
 
     def prefetch(self, shuffle: bool = False,
                  rng: np.random.Generator | None = None,
@@ -664,19 +712,18 @@ class BucketBatcher:
                                 thread_name_prefix="advmil-loader") as ex:
             pending: deque = deque()
             it = iter(chunks)
-            for b, chunk in it:
-                pending.append(
-                    ex.submit(self._make_batch, self.buckets[b], chunk))
+            for gi, chunk in it:
+                pending.append(ex.submit(self._make_batch, gi, chunk))
                 if len(pending) >= workers + depth:
                     break
-            for b, chunk in it:
+            for gi, chunk in it:
                 yield pending.popleft().result()
-                pending.append(
-                    ex.submit(self._make_batch, self.buckets[b], chunk))
+                pending.append(ex.submit(self._make_batch, gi, chunk))
             while pending:
                 yield pending.popleft().result()
 
-    def _make_batch(self, bucket_n: int, item_ids: list) -> Batch:
+    def _make_batch(self, group_i: int, item_ids: list) -> Batch:
+        bucket_n, grid_n, _ = self._groups_list()[group_i]
         bb = self.batch_size_for(bucket_n)
         n_real = len(item_ids)
         # fill ragged tails by duplicating the first item with sample_mask 0
@@ -708,7 +755,7 @@ class BucketBatcher:
             # they are computed once per bag and cached (advisor r3) —
             # without the cache the band decomposition re-ran for every bag
             # in every batch of every epoch on the host hot path.
-            per = [self._graph_tables(it, bucket_n) for it in items]
+            per = [self._graph_tables(it, bucket_n, grid_n) for it in items]
             if self._band_on or self._grid_on:
                 # banded streaming: the message gather (and therefore the
                 # dense [N, epn] edge tables) never reaches the device —

@@ -167,8 +167,10 @@ def main():
                     done.add((r["bcb"], r["task"], r["seed"]))
             print(f"[bf16check] resuming: {len(done)} (arm,seed) pairs done")
         ran = 0
-        for bcb, task in arms:
-            for seed in args.seeds:
+        # seed-major order: an interrupted matrix then covers every arm at
+        # k seeds rather than k arms at 5 seeds
+        for seed in args.seeds:
+            for bcb, task in arms:
                 if (bcb, task, seed) in done:
                     continue
                 if args.max_pairs and ran >= args.max_pairs:

@@ -474,3 +474,86 @@ def test_grid_vs_gather_training_equivalence(tmp_path, capsys):
     # late; demand epoch-1 equality and a small final gap)
     assert abs(ca[0] - cb[0]) < 1e-6, (ca, cb)
     assert abs(va - vb) <= 0.05, (va, vb, ca, cb)
+
+
+def _block_slide(centers, r, gw, seed=0):
+    """Tissue = union of radius-r ellipses at the given centers inside a
+    gw x gw patch grid (varying row widths, so compact banding fails its
+    gate); spatial kNN edges from the real graph tool. Returns (coords
+    [N,2] in pixels, edge_index [2,E] dst-sorted, n)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:gw, 0:gw].astype(np.float64)
+    m = np.zeros((gw, gw), bool)
+    for cy, cx in centers:
+        ry, rx = r * rng.uniform(0.85, 1.15, 2)
+        m |= ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+    ys, xs = np.nonzero(m)
+    coords = np.stack([xs, ys], 1).astype(np.float32) * 512.0
+    n = len(coords)
+    from advmil_tpu.tools.build_graphs import build_graph
+    g = build_graph(coords, np.zeros((n, 4), np.float32), radius=9,
+                    use_device_for_feats=False)
+    ei = g["edge_index"]
+    order = np.argsort(ei[0], kind="stable")
+    return coords, np.stack([ei[0][order], ei[1][order]]), n
+
+
+def test_grid_area_subbuckets_split_and_cover(tmp_path):
+    """One node bucket, two grid-area classes: the groups DP must split the
+    bucket so compact slides stop paying a sprawling slide's bounding box
+    (VERDICT r4 #2), each emitted batch must ship its own group's grid
+    shape, and the epoch must still cover every bag exactly once."""
+    import pandas as pd
+
+    from advmil_tpu.data.bags import BagDataset, BucketBatcher
+
+    feat_dir = tmp_path / "feats"
+    graph_dir = tmp_path / "graphs"
+    feat_dir.mkdir()
+    graph_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    pids = []
+    # 4 compact slides (one blob filling a ~20x20 bbox) and 4 sprawling
+    # slides (a diagonal chain of small blobs across a ~40x40 bbox, no
+    # fully-empty grid line to crop) -> similar node counts (one bucket),
+    # ~4x different grid areas
+    layouts = [([(10, 10)], 9, 20)] * 4 \
+        + [([(5, 5), (15, 15), (25, 25), (35, 35)], 5.5, 40)] * 4
+    for i, (centers, r, gw) in enumerate(layouts):
+        coords, ei, n = _block_slide(centers, r, gw, seed=i)
+        pid = f"p{i}"
+        sid = f"{pid}_s0"
+        np.save(feat_dir / f"{sid}.npy",
+                rng.normal(size=(n, 16)).astype(np.float32))
+        np.savez(graph_dir / f"{sid}.npz", edge_index=ei, edge_latent=ei,
+                 centroid=coords, num_nodes=np.asarray(n))
+        pids.append(pid)
+        rows.append({"patient_id": pid, "pathology_id": sid,
+                     "t": 1.0 + i, "e": 1})
+    table = tmp_path / "labels.csv"
+    pd.DataFrame(rows).to_csv(table, index=False)
+
+    ds = BagDataset(pids, str(feat_dir), str(table), mode="graph",
+                    graph_path=str(graph_dir), read_format="npy",
+                    time_format="ratio")
+    b = BucketBatcher(ds, token_budget=512, min_bucket=512,
+                      edges_per_node=8, grid_max_inflation=3.5)
+    assert b._grid_on
+    groups = b._groups_list()
+    assert len(groups) == 2, groups
+    grid_ns = sorted(gn for _, gn, _ in groups)
+    assert grid_ns == [384, 1664], groups     # rup(~19^2), rup(40^2)
+    assert all(len(items) == 4 for _, _, items in groups)
+    assert b.num_batches() == 8               # bb = 512 // 512 = 1
+    seen = []
+    for batch in b.epoch_batches():
+        gn = batch.extra["band_mask"].shape[1]
+        assert gn in (384, 1664)
+        for j in range(len(batch.idx)):
+            if batch.sample_mask[j]:
+                seen.append(int(batch.idx[j]))
+                # the bag's own grid fits its group's padded grid
+                rc, W, H = b._grid_rc[int(batch.idx[j])]
+                assert W * H <= gn
+    assert sorted(seen) == list(range(8))
