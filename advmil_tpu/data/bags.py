@@ -591,16 +591,23 @@ class BucketBatcher:
             bb = self.batch_size_for(bn)
             m = len(order)
             rup = lambda a: -(-max(a, 1) // 128) * 128  # noqa: E731
+            # candidate boundaries sit on batch-size multiples (an interior
+            # boundary off a multiple would only add tail-filler waste) plus
+            # the end — keeps the DP at O((m/bb)^2) for 10k-slide datasets
+            pos = list(range(0, m, bb)) + [m]
 
             def seg_cost(s: int, e: int) -> float:  # items order[s:e]
                 n_batches = -(-(e - s) // bb)
                 gn = rup(area[order[e - 1]])
                 return (n_batches + 0.5) * bb * gn
 
-            best = [0.0] + [np.inf] * m   # best[e] = min cost of order[:e]
-            cut = [0] * (m + 1)
-            for e in range(1, m + 1):
-                for s in range(e):
+            best = {0: 0.0}               # best[e] = min cost of order[:e]
+            cut = {}
+            for e in pos[1:]:
+                best[e] = np.inf
+                for s in pos:
+                    if s >= e:
+                        break
                     c = best[s] + seg_cost(s, e)
                     if c < best[e]:
                         best[e], cut[e] = c, s

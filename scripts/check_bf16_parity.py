@@ -38,6 +38,10 @@ if os.environ.get("ADVMIL_FORCE_CPU") == "1":  # same escape hatch as main.py
 REGIMES = {
     "shipped": ("bf16", "rbg"),
     "parity": ("f32", "threefry"),
+    # decomposition arms (round 5): attribute a shipped-vs-parity shift to
+    # the precision ingredient or to the RNG/dropout-bits ingredient
+    "bf16_threefry": ("bf16", "threefry"),
+    "f32_rbg": ("f32", "rbg"),
 }
 
 
@@ -114,9 +118,15 @@ def get_paths(workdir: str):
 
 def run_pair(paths, args, bcb, task, seed):
     rows = {}
-    for regime in ("shipped", "parity"):
+    for regime in getattr(args, "regimes", None) or ("shipped", "parity"):
         rows[regime] = run(regime, paths, seed, args.epochs,
                            args.workdir, bcb, task)
+    if set(rows) != {"shipped", "parity"}:
+        return {"bcb": bcb, "task": task, "seed": seed,
+                "epochs": args.epochs,
+                **{f"{r}_val": rows[r]["validation"]["cindex"]
+                   for r in rows},
+                **{f"{r}_test": rows[r]["test"]["cindex"] for r in rows}}
     return {
         "bcb": bcb, "task": task, "seed": seed, "epochs": args.epochs,
         "shipped_val": rows["shipped"]["validation"]["cindex"],
@@ -141,6 +151,10 @@ def main():
     ap.add_argument("--bcb", default="patch",
                     choices=["patch", "cluster", "graph", "abmil"])
     ap.add_argument("--task", default="cont", choices=["cont", "disc"])
+    ap.add_argument("--regimes", nargs="+", default=None,
+                    choices=sorted(REGIMES),
+                    help="single-arm mode: which regimes to train "
+                         "(default shipped+parity pair)")
     ap.add_argument("--matrix", action="store_true",
                     help="run the full {cont,disc}x{patch,cluster,graph} "
                          "grid; resumable via matrix.jsonl")
@@ -200,20 +214,22 @@ def main():
               f"{median(all_ds):+.4f}")
         return
 
+    regimes = list(args.regimes or ("shipped", "parity"))
     deltas = []
-    print(f"\narm: bcb={args.bcb} task={args.task} epochs={args.epochs}")
-    print("\n| seed | shipped val | parity val | Δval "
-          "| shipped test | parity test |")
-    print("|---|---|---|---|---|---|")
+    print(f"\narm: bcb={args.bcb} task={args.task} epochs={args.epochs} "
+          f"regimes={regimes}")
+    print("\n| seed | " + " | ".join(f"{r} val" for r in regimes)
+          + " | " + " | ".join(f"{r} test" for r in regimes) + " |")
+    print("|---" * (1 + 2 * len(regimes)) + "|")
     for seed in args.seeds:
         rec = run_pair(paths, args, args.bcb, args.task, seed)
-        deltas.append(rec["dval"])
-        print(f"| {seed} | {rec['shipped_val']:.4f} "
-              f"| {rec['parity_val']:.4f} | {rec['dval']:+.4f} "
-              f"| {rec['shipped_test']:.4f} "
-              f"| {rec['parity_test']:.4f} |", flush=True)
-    print(f"\nmedian Δval (shipped − parity) over {len(deltas)} seeds = "
-          f"{median(deltas):+.4f}")
+        if "dval" in rec:
+            deltas.append(rec["dval"])
+        cells = [f"{rec[f'{r}_val']:.4f}" for r in regimes]             + [f"{rec[f'{r}_test']:.4f}" for r in regimes]
+        print(f"| {seed} | " + " | ".join(cells) + " |", flush=True)
+    if deltas:
+        print(f"\nmedian Δval (shipped − parity) over {len(deltas)} seeds = "
+              f"{median(deltas):+.4f}")
 
 
 if __name__ == "__main__":
