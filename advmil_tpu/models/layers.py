@@ -114,12 +114,14 @@ def _rbg_bits(rng) -> bool:
     return "rbg" in str(jax.config.jax_default_prng_impl)
 
 
-_DROPOUT_U8 = True  # A/B switch for scripts/bench_dropout_bits.py
+_DROPOUT_U8 = True  # A/B switch; True = u8 bits under rbg keys only,
+#                     "always" = u8 bits under ANY impl (quantized rate),
+#                     False = flax-exact bernoulli masks everywhere
 
 
-def set_dropout_u8(enabled: bool):
+def set_dropout_u8(enabled):
     global _DROPOUT_U8
-    _DROPOUT_U8 = bool(enabled)
+    _DROPOUT_U8 = enabled if enabled == "always" else bool(enabled)
 
 
 def mask_dropout(rng, rate: float, x):
@@ -137,7 +139,8 @@ def mask_dropout(rng, rate: float, x):
     (PARITY.md/GOLDEN.md) were trained in stays bitwise-reproducible.
     """
     thresh = int(round(rate * 256))  # drop when bits < thresh
-    if 0 < thresh < 256 and _DROPOUT_U8 and _rbg_bits(rng):
+    if 0 < thresh < 256 and (_DROPOUT_U8 == "always"
+                             or (_DROPOUT_U8 and _rbg_bits(rng))):
         rate_q = thresh / 256.0
         bits = jax.random.bits(rng, x.shape, jnp.uint8)
         keep = bits >= jnp.uint8(thresh)

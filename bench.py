@@ -518,6 +518,7 @@ def bench_graph_toolbuilt(batch_b: int = 8) -> dict:
         arms[name] = {"bags_per_sec": round(batch_b / per_step, 2),
                       "mfu": round(flops / per_step / PEAK_FLOPS, 4),
                       "compile_s": round(compile_s, 1)}
+        print(f"# toolbuilt arm {name}: {arms[name]}", flush=True)
     v = arms["grid_banded"]["bags_per_sec"]
     return {
         "metric": "gansurv_graph_toolbuilt_throughput",
@@ -554,7 +555,17 @@ def bench_graph_toolbuilt_bucketed(n_slides: int = 16, batch_b: int = 8) -> dict
     assert n_slides == 2 * batch_b, \
         "bucketed arm splits n_slides into exactly two B=batch_b batches"
     slides = _tissue_slides(n_slides)
-    order = sorted(range(n_slides), key=lambda i: len(slides[i]))
+
+    # size-sort by CROPPED GRID AREA, matching the batcher's round-5
+    # grid-area sub-bucketing (data/bags.py _groups_list): kernel work
+    # scales with the padded grid, not the node count
+    def grid_area(coords):
+        from advmil_tpu.ops.segment import crop_empty_grid_lines, grid_layout
+        gidx, W, H = grid_layout(coords)
+        _, _, W2, H2 = crop_empty_grid_lines(gidx, W)
+        return W2 * H2
+
+    order = sorted(range(n_slides), key=lambda i: grid_area(slides[i]))
     groups = [[slides[i] for i in order[:batch_b]],
               [slides[i] for i in order[batch_b:]]]
 

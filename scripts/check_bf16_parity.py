@@ -42,6 +42,12 @@ REGIMES = {
     # the precision ingredient or to the RNG/dropout-bits ingredient
     "bf16_threefry": ("bf16", "threefry"),
     "f32_rbg": ("f32", "rbg"),
+    # rbg with the uint8 dropout-bit path disabled (bernoulli u32 masks):
+    # separates the hardware generator from the byte-mask optimization
+    "shipped_u32": ("bf16", "rbg", False),
+    # threefry bit generation with the u8 byte masks forced on: the
+    # candidate fix when the rbg hardware stream (not u8) is the culprit
+    "bf16_threefry_u8": ("bf16", "threefry", "always"),
 }
 
 
@@ -50,7 +56,10 @@ def run(regime: str, paths, seed: int, epochs: int, outdir: str,
     from advmil_tpu.config import with_defaults
     from advmil_tpu.train.handler import AdvHandler
 
-    precision, rng_impl = REGIMES[regime]
+    reg = REGIMES[regime]
+    precision, rng_impl = reg[0], reg[1]
+    from advmil_tpu.models.layers import set_dropout_u8
+    set_dropout_u8(reg[2] if len(reg) > 2 else True)
     cfg = with_defaults({
         "task": "cont_gansurv", "seed": seed,
         "save_path": os.path.join(outdir, f"{bcb}-{task}-{seed}-{regime}"),

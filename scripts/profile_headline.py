@@ -7,6 +7,10 @@ Writes the trace under /tmp/advmil_profile and, when
 tensorboard_plugin_profile can parse it, prints the top self-time ops.
 """
 import argparse
+import os
+# tensorboard_plugin_profile's generated protos predate protobuf 4's C++
+# fast path; the pure-python parser still reads them
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 import glob
 import gzip
 import json
