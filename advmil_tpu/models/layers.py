@@ -139,8 +139,16 @@ def mask_dropout(rng, rate: float, x):
     (PARITY.md/GOLDEN.md) were trained in stays bitwise-reproducible.
     """
     thresh = int(round(rate * 256))  # drop when bits < thresh
+    # u8 byte masks are gated on f32 compute: the round-5 shipped-regime
+    # matrix found u8-masked dropout under bf16+rbg costs ~0.05 val C-index
+    # on the ESAT arm while the SAME masks under f32 (f32_rbg arm) and u32
+    # bernoulli masks under bf16+rbg (shipped_u32 arm, identical key tree)
+    # are healthy — an empirically pinned u8xbf16 interaction
+    # (BENCHNOTES.md round-5 matrix). "always" forces the byte path for
+    # benchmarking; False forces flax-exact bernoulli everywhere.
+    u8_ok = (x.dtype == jnp.float32) or _DROPOUT_U8 == "always"
     if 0 < thresh < 256 and (_DROPOUT_U8 == "always"
-                             or (_DROPOUT_U8 and _rbg_bits(rng))):
+                             or (_DROPOUT_U8 and u8_ok and _rbg_bits(rng))):
         rate_q = thresh / 256.0
         bits = jax.random.bits(rng, x.shape, jnp.uint8)
         keep = bits >= jnp.uint8(thresh)
