@@ -114,9 +114,15 @@ def _rbg_bits(rng) -> bool:
     return "rbg" in str(jax.config.jax_default_prng_impl)
 
 
-_DROPOUT_U8 = True  # A/B switch; True = u8 bits under rbg keys only,
-#                     "always" = u8 bits under ANY impl (quantized rate),
-#                     False = flax-exact bernoulli masks everywhere
+_DROPOUT_U8 = False  # round-5 default: flax-style bernoulli masks
+#                      everywhere. True = u8 byte masks under rbg+f32 only
+#                      (legacy auto), "always" = u8 under any impl/dtype
+#                      (bench override). The shipped-regime matrix pinned
+#                      u8 bytes x the TPU hardware RngBitGenerator as an
+#                      ESAT accuracy regression (worst under bf16, -0.05
+#                      val C-index; borderline under f32) while
+#                      threefry-generated u8 bytes are healthy — see
+#                      BENCHNOTES.md round 5.
 
 
 def set_dropout_u8(enabled):
@@ -127,25 +133,25 @@ def set_dropout_u8(enabled):
 def mask_dropout(rng, rate: float, x):
     """Dropout core: zero each element with probability ~rate, scale the rest.
 
-    Under an rbg-family key the mask bits are drawn as uint8: the rbg HLO op
-    (rng-bit-generator) is not fusible, so every dropout mask round-trips its
-    raw bits through HBM, and jax.random.bernoulli draws uint32 per element —
-    uint8 cuts that traffic 4x at every dropout site of this bandwidth-bound
-    workload. The drop probability quantizes to round(rate*256)/256 — within
-    1/512 of nominal (exact for 0.25; 0.6 becomes 154/256 = 0.60156) — and
-    the inverse scale uses the QUANTIZED rate so E[out] == x exactly for the
-    rate actually applied. Threefry keys keep
-    flax's exact bernoulli masks: the regime all recorded parity artifacts
-    (PARITY.md/GOLDEN.md) were trained in stays bitwise-reproducible.
+    Default path: flax-style bernoulli(u32) masks under every PRNG impl —
+    under the shipped `rng_impl: rbg` the mask BITS still come from the TPU
+    hardware generator (the round-4 ~21% win), and the threefry regime stays
+    bitwise-identical to flax (every recorded parity artifact).
+
+    Optional u8 byte masks (`set_dropout_u8`): 4x less mask HBM traffic,
+    drop probability quantized to round(rate*256)/256 (within 1/512 of
+    nominal; the inverse scale uses the QUANTIZED rate so E[out] == x for
+    the rate applied). Worth ~7% on the bf16 headline — but the round-5
+    shipped-regime matrix pinned u8 bytes FROM THE HARDWARE RngBitGenerator
+    as a real accuracy regression on the ESAT arm (-0.05 val C-index under
+    bf16, borderline under f32; threefry-generated u8 bytes are healthy),
+    so the byte path is opt-in, not the default (BENCHNOTES.md round 5).
     """
     thresh = int(round(rate * 256))  # drop when bits < thresh
-    # u8 byte masks are gated on f32 compute: the round-5 shipped-regime
-    # matrix found u8-masked dropout under bf16+rbg costs ~0.05 val C-index
-    # on the ESAT arm while the SAME masks under f32 (f32_rbg arm) and u32
-    # bernoulli masks under bf16+rbg (shipped_u32 arm, identical key tree)
-    # are healthy — an empirically pinned u8xbf16 interaction
-    # (BENCHNOTES.md round-5 matrix). "always" forces the byte path for
-    # benchmarking; False forces flax-exact bernoulli everywhere.
+    # opt-in ladder (see _DROPOUT_U8): "always" forces byte masks anywhere;
+    # True restores the legacy auto path (bytes only under rbg keys AND f32
+    # compute — the least-damaged pairing short of off); False (default)
+    # never takes the byte path
     u8_ok = (x.dtype == jnp.float32) or _DROPOUT_U8 == "always"
     if 0 < thresh < 256 and (_DROPOUT_U8 == "always"
                              or (_DROPOUT_U8 and u8_ok and _rbg_bits(rng))):
