@@ -54,6 +54,7 @@ TPU_DEFAULTS = {
     "use_fused_lnpool": True,      # fused Pallas LN+ReLU+region-mean (no matmul)
     "use_coords_pe": False,        # feed region coords to ESAT (reference skips them)
     "num_graph_layers": 1,
+    "graph_grid_resident": False,
     "graph_edge_agg": "spatial",
     "graph_edges_per_node": 9,     # padded edge budget per node (kNN radius)
     "graph_scatter_free": "auto",  # reverse-edge-table backward: auto|on|off

@@ -217,12 +217,27 @@ class DeepGCNBlock(nn.Module):
 class PatchGCN(nn.Module):
     """Graph MIL encoder (reference model/backbone.py:126-168): FC embed,
     GENConv stack with dense concatenation of all layer outputs, then
-    gated-attention pooling over nodes."""
+    gated-attention pooling over nodes.
+
+    grid_resident (round 5, OFF by default — measured negative): with
+    grid-raster band tables, keep the WHOLE stack in the slide's
+    bounding-box grid layout — one placement after the embed, zero
+    per-layer place/take, pooling directly on grid rows with the mask
+    gathered through the bijection. Measured on tool-built tissue graphs
+    it LOSES ~5% (484 vs 511 bags/s): XLA had already fused the per-layer
+    placements into their consumers, so eliminating them only inflated
+    every LN/MLP/dense row op by the grid inflation (1.37x rows at the
+    bench shapes) — the profile's "shuttle" fusions carried the real row
+    work (BENCHNOTES round 5). Kept as an option for low-inflation
+    datasets; deterministic forwards/grads are exactly equal to the
+    shuttle path (test-pinned), while dropout masks draw in grid shape
+    (different stream)."""
     dims: Sequence[int]
     num_layers: int = 1
     dropout: float = 0.25
     dense_init: str = DenseInit.XAVIER
     use_pallas: bool = True
+    grid_resident: bool = False
 
     @nn.compact
     def __call__(self, x, mask, extra=None, *, deterministic: bool):
@@ -262,6 +277,17 @@ class PatchGCN(nn.Module):
         h = make_dense(dim_hid, self.dense_init, in_features=dim_in, name="fc")(x)
         h = nn.relu(h)
         h = Dropout(self.dropout)(h, deterministic=deterministic)
+
+        if (self.grid_resident and band is not None and "gidx" in band
+                and "ginv" in band):
+            # stay in grid layout for the whole stack: place once here,
+            # never take — GENConv sees a band dict without gidx/ginv and
+            # treats its input as already grid-resident (its y_agg = y
+            # branch). The pooling mask rides the same bijection.
+            gidx, ginv = band.pop("gidx"), band.pop("ginv")
+            h = jax.vmap(grid_place)(h, gidx, ginv)
+            mask = jax.vmap(grid_place)(mask[..., None].astype(h.dtype),
+                                        gidx, ginv)[..., 0]
 
         # first layer applies the bare conv (reference model/backbone.py:157)
         conv0 = GENConv(dim_hid, dense_init=self.dense_init,
@@ -363,7 +389,8 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
                   use_fused_embed: bool = False,
                   use_lnpool: bool = True,
                   tra_backbone: str = "Transformer",
-                  flash_min_len: int = 512) -> nn.Module:
+                  flash_min_len: int = 512,
+                  grid_resident: bool = False) -> nn.Module:
     """Backbone factory with the reference's default hyperparameters
     (reference model/backbone.py:19-51)."""
     dims = list(dims)[:3]
@@ -378,5 +405,6 @@ def load_backbone(mode: str, dims: Sequence[int], dense_init: str = DenseInit.XA
         return DeepAttnMISL(dims, num_clusters=8, dropout=0.25, dense_init=dense_init)
     if mode == "graph":
         return PatchGCN(dims, num_layers=num_graph_layers, dropout=0.25,
-                        dense_init=dense_init, use_pallas=use_pallas)
+                        dense_init=dense_init, use_pallas=use_pallas,
+                        grid_resident=grid_resident)
     return ABMIL(dims, dropout=0.25, dense_init=dense_init)

@@ -66,6 +66,8 @@ class BaselineHandler(HandlerCommon):
         backbone = load_backbone(self.bcb, backbone_dims, dense_init=dense_init,
                                  use_pallas=cfg.get("use_pallas", True),
                                  num_graph_layers=cfg.get("num_graph_layers", 1),
+                                 grid_resident=cfg.get(
+                                     "graph_grid_resident", False),
                                  use_fused_embed=cfg.get("use_fused_embedding", False),
                                  use_lnpool=cfg.get("use_fused_lnpool", True),
                                  tra_backbone=cfg.get("tra_backbone", "Transformer"),

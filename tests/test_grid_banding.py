@@ -464,7 +464,12 @@ def test_grid_vs_gather_training_equivalence(tmp_path, capsys):
                if "validation/c_index" in d]
         return losses, cis, dict(metrics["validation"])["cindex"]
 
-    la, ca, va = run({"graph_banded": "auto"}, "a")
+    # grid_resident off: the lockstep claim needs the dropout stream to
+    # match the oracle's per-layer tissue shapes (the stay-in-grid default
+    # draws grid-shaped masks; its deterministic exactness is pinned by
+    # test_grid_resident_forward_grads_match_shuttle)
+    la, ca, va = run({"graph_banded": "auto",
+                      "graph_grid_resident": False}, "a")
     lb, cb, vb = run({"graph_banded": "off", "graph_scatter_free": "off"},
                      "b")
     # first optimizer steps: same function, same everything -> f32 noise only
@@ -557,3 +562,69 @@ def test_grid_area_subbuckets_split_and_cover(tmp_path):
                 rc, W, H = b._grid_rc[int(batch.idx[j])]
                 assert W * H <= gn
     assert sorted(seen) == list(range(8))
+
+
+
+def test_grid_resident_forward_grads_match_shuttle(tmp_path):
+    """The round-5 stay-in-grid stack (one placement, zero per-layer
+    shuttles, pooling on grid rows) computes the same function as the
+    per-layer place/take path: deterministic forwards and parameter grads
+    must match to f32 tolerance on real tissue-shaped tool graphs."""
+    import pandas as pd
+
+    from advmil_tpu.data.bags import BagDataset, BucketBatcher
+    from advmil_tpu.models.backbones import PatchGCN
+
+    feat_dir = tmp_path / "feats"
+    graph_dir = tmp_path / "graphs"
+    feat_dir.mkdir()
+    graph_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    pids = []
+    for i in range(3):
+        coords, ei, n = _block_slide([(10, 10)], 8, 22, seed=i)
+        pid = f"p{i}"
+        sid = f"{pid}_s0"
+        np.save(feat_dir / f"{sid}.npy",
+                rng.normal(size=(n, 16)).astype(np.float32))
+        np.savez(graph_dir / f"{sid}.npz", edge_index=ei, edge_latent=ei,
+                 centroid=coords, num_nodes=np.asarray(n))
+        pids.append(pid)
+        rows.append({"patient_id": pid, "pathology_id": sid,
+                     "t": 1.0 + i, "e": 1})
+    table = tmp_path / "labels.csv"
+    pd.DataFrame(rows).to_csv(table, index=False)
+    ds = BagDataset(pids, str(feat_dir), str(table), mode="graph",
+                    graph_path=str(graph_dir), read_format="npy",
+                    time_format="ratio")
+    b = BucketBatcher(ds, token_budget=2048, min_bucket=256,
+                      edges_per_node=8)
+    assert b._grid_on
+    batch = next(iter(b.epoch_batches()))
+    extra = {k: jnp.asarray(v) for k, v in batch.extra.items()}
+    feats = jnp.asarray(batch.feats)
+    mask = jnp.asarray(batch.mask)
+
+    models = {gr: PatchGCN([16, 24, 24], num_layers=3, grid_resident=gr)
+              for gr in (True, False)}
+    params = models[True].init(jax.random.PRNGKey(0), feats, mask, extra,
+                               deterministic=True)["params"]
+
+    outs = {}
+    grads = {}
+    for gr, m in models.items():
+        def loss(p, _m=m):
+            out = _m.apply({"params": p}, feats, mask, extra,
+                           deterministic=True)
+            return jnp.sum(out ** 2), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs[gr], grads[gr] = out, g
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]), atol=2e-5)
+    flat_t = jax.tree_util.tree_leaves(grads[True])
+    flat_f = jax.tree_util.tree_leaves(grads[False])
+    for a, c in zip(flat_t, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=3e-4, rtol=2e-3)
